@@ -1,0 +1,558 @@
+"""Gene-batched differential-expression hypothesis tests (L2 inference).
+
+The reference runs one Python worker per gene (``_ht_1d`` / ``_ht_2d``,
+ref ``/root/reference/memento/hypothesis_test.py:144-215,303-364``) under a
+joblib process pool.  This module inverts that design: a single jitted device
+program evaluates an entire padded *tile* of genes across every replicate
+group at once —
+
+  bootstrap sampling  ->  moment contraction  ->  residual-variance transform
+  ->  invalid-value fill  ->  weighted meta-regression  ->  ASL
+
+with the bootstrap-replicate axis chunked so the multinomial draws stay
+within device memory.  Group dropping and NaN semantics follow the reference
+exactly but are expressed as masks/zero weights (SURVEY.md §7 "NaN
+semantics").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.bootstrap import bootstrap_1d, bootstrap_2d
+from ..ops.estimators import NoiseModel, corr_from_cov
+from ..ops.mv_regression import residual_variance
+from ..ops.sampling import fold_key
+from .asl import asl_counting, refine_flagged
+from .regression import meta_regress
+
+
+# ---------------------------------------------------------------------------
+# invalid-value fill (ref hypothesis_test.py:23-40)
+# ---------------------------------------------------------------------------
+
+
+def fill_invalid(key, vals, valid):
+    """Replace invalid entries by uniform draws from the valid ones.
+
+    Mirrors ``_fill`` / ``_fill_corr``: per row, invalid entries are replaced
+    by randomly chosen valid entries; a row with no valid entry is reported
+    as wholly invalid (the reference then drops the group for that gene).
+
+    Args:
+      vals: ``[..., B]``.
+      valid: ``[..., B]`` boolean.
+
+    Returns:
+      (filled ``[..., B]``, all_invalid ``[...]`` bool).
+    """
+    batch = vals.shape[:-1]
+    b = vals.shape[-1]
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    all_invalid = ~jnp.any(valid, axis=-1)
+    # guard fully-invalid rows so categorical sees finite logits
+    logits = jnp.where(all_invalid[..., None], 0.0, logits)
+    idx = jax.random.categorical(key, logits, axis=-1, shape=(b, *batch))
+    idx = jnp.moveaxis(idx, 0, -1)  # [..., B]
+    donors = jnp.take_along_axis(vals, idx, axis=-1)
+    filled = jnp.where(valid, vals, donors)
+    return filled, all_invalid
+
+
+# ---------------------------------------------------------------------------
+# 1D kernel
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_boot",
+        "model",
+        "sampler",
+        "one_sample",
+        "resampling",
+        "approx",
+        "resample_rep",
+        "boot_chunk",
+    ),
+)
+def ht_1d_tile(
+    key,
+    values,  # [R, T, U]
+    counts,  # [R, T, U]
+    inv_sf,  # [R, T, U]
+    inv_sf_sq,  # [R, T, U]
+    n_unique,  # [R, T]
+    true_mean,  # [R, T]
+    true_res_var,  # [R, T]
+    mv_coeffs,  # [R, 3]
+    q,  # [R]
+    n_obs,  # [R]  cells per group
+    covariate,  # [R, K]
+    treatment,  # [T, R, Kt]
+    *,
+    num_boot: int,
+    model: NoiseModel,
+    sampler: str = "multinomial",
+    one_sample: bool = False,
+    resampling: str = "bootstrap",
+    approx: bool = False,
+    resample_rep: bool = False,
+    boot_chunk: int = 1024,
+):
+    """Differential mean/variability test for one tile of genes.
+
+    Returns a dict with observed coefficients, bootstrap SEs, first-stage
+    p-values, GEV-refinement flags, and the full coefficient matrices
+    (``[T, Kt, B+1]``) for host-side tail refinement.
+    """
+    r, t, _ = values.shape
+    b = num_boot
+
+    # ---- bootstrap moments, chunked over the replicate axis ----------------
+    n_chunks = max(1, -(-b // boot_chunk))
+    bc = -(-b // n_chunks)  # actual chunk size; b padded up to n_chunks*bc
+
+    def one_chunk(ci):
+        def per_group(r_idx):
+            k = fold_key(key, 0, r_idx, ci)
+            return bootstrap_1d(
+                k,
+                values[r_idx],
+                counts[r_idx],
+                inv_sf[r_idx],
+                inv_sf_sq[r_idx],
+                n_obs[r_idx],
+                q[r_idx],
+                model,
+                bc,
+                sampler,
+            )
+
+        return jax.vmap(per_group)(jnp.arange(r))  # (mean, var): [R, T, bc]
+
+    mean_c, var_c = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    # [C, R, T, bc] -> [R, T, C*bc] -> trim to B
+    boot_mean_raw = jnp.moveaxis(mean_c, 0, 2).reshape(r, t, n_chunks * bc)[..., :b]
+    boot_var_raw = jnp.moveaxis(var_c, 0, 2).reshape(r, t, n_chunks * bc)[..., :b]
+
+    # ---- residual variance per replicate (ref hypothesis_test.py:186) -----
+    res_var = residual_variance(
+        boot_mean_raw, boot_var_raw, mv_coeffs[:, None, :]
+    )  # [R, T, B]
+
+    # ---- fill invalid replicates (ref hypothesis_test.py:189-194) ---------
+    k_mean, k_var = jax.random.split(fold_key(key, 1))
+    mean_valid = jnp.isfinite(boot_mean_raw) & (boot_mean_raw > 0)
+    var_valid = jnp.isfinite(res_var) & (res_var > 0)
+    filled_mean, mean_dead = fill_invalid(k_mean, boot_mean_raw, mean_valid)
+    filled_var, var_dead = fill_invalid(k_var, res_var, var_valid)
+
+    # ---- group validity (ref hypothesis_test.py:164-200) -------------------
+    moments_ok = (
+        jnp.isfinite(true_mean)
+        & jnp.isfinite(true_res_var)
+        & (true_mean != 0)
+        & (true_res_var > 0)
+        & (n_unique > 1)  # ref bootstrap.py:97-98
+    )
+    good = moments_ok & ~mean_dead & ~var_dead  # [R, T]
+
+    # ---- assemble (B+1) stat matrices; col 0 = observed --------------------
+    log_tm = jnp.log(jnp.where(good, true_mean, 1.0))
+    log_tv = jnp.log(jnp.where(good, true_res_var, 1.0))
+    boot_mean = jnp.concatenate(
+        [log_tm[..., None], jnp.log(jnp.maximum(filled_mean, 1e-300))], axis=-1
+    )
+    boot_var = jnp.concatenate(
+        [log_tv[..., None], jnp.log(jnp.maximum(filled_var, 1e-300))], axis=-1
+    )
+    boot_mean = jnp.where(good[..., None], boot_mean, 0.0)
+    boot_var = jnp.where(good[..., None], boot_var, 0.0)
+
+    # ---- meta-regression, vmapped over genes -------------------------------
+    weights = jnp.where(good, n_obs[:, None].astype(jnp.float32), 0.0)  # [R, T]
+
+    k_resample = fold_key(key, 2)
+
+    def regress_gene(stats_g, treat_g, w_g, k_g):
+        return meta_regress(
+            covariate,
+            treat_g,
+            stats_g,
+            w_g,
+            one_sample=one_sample,
+            resample_rep=resample_rep,
+            key=k_g,
+        )
+
+    gene_keys = jax.vmap(lambda i: fold_key(k_resample, i))(jnp.arange(t))
+    mean_coef = jax.vmap(regress_gene, in_axes=(1, 0, 1, 0))(
+        boot_mean, treatment, weights, gene_keys
+    )  # [T, Kt, B+1]
+    var_coef = jax.vmap(regress_gene, in_axes=(1, 0, 1, 0))(
+        boot_var, treatment, weights, gene_keys
+    )
+
+    # ---- SE + first-stage ASL ----------------------------------------------
+    def finish(coef):
+        se = _nanstd(coef[..., 1:])
+        pval, needs = asl_counting(coef, resampling, approx)
+        return se, pval, needs
+
+    mean_se, mean_pval, mean_needs = finish(mean_coef)
+    var_se, var_pval, var_needs = finish(var_coef)
+
+    # genes with no valid group at all -> NaN (ref hypothesis_test.py:203-204)
+    any_good = jnp.any(good, axis=0)  # [T]
+    nanify = lambda x: jnp.where(any_good[:, None], x, jnp.nan)
+    return {
+        "mean_coef": nanify(mean_coef[..., 0]),
+        "mean_se": nanify(mean_se),
+        "mean_pval": nanify(mean_pval),
+        "mean_needs_gev": mean_needs & any_good[:, None],
+        "var_coef": nanify(var_coef[..., 0]),
+        "var_se": nanify(var_se),
+        "var_pval": nanify(var_pval),
+        "var_needs_gev": var_needs & any_good[:, None],
+        "mean_coef_full": mean_coef,
+        "var_coef_full": var_coef,
+    }
+
+
+def _nanstd(x, axis=-1):
+    m = jnp.nanmean(x, axis=axis, keepdims=True)
+    return jnp.sqrt(jnp.nanmean((x - m) ** 2, axis=axis))
+
+
+# ---------------------------------------------------------------------------
+# 2D kernel
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_boot",
+        "model",
+        "sampler",
+        "one_sample",
+        "resampling",
+        "approx",
+        "resample_rep",
+        "boot_chunk",
+    ),
+)
+def ht_2d_tile(
+    key,
+    values_1,  # [R, P, U]
+    values_2,  # [R, P, U]
+    counts,  # [R, P, U]
+    inv_sf,  # [R, P, U]
+    inv_sf_sq,  # [R, P, U]
+    true_corr,  # [R, P]
+    q,  # [R]
+    n_obs,  # [R]
+    covariate,  # [R, K]
+    treatment,  # [P, R, Kt]
+    *,
+    num_boot: int,
+    model: NoiseModel,
+    sampler: str = "multinomial",
+    one_sample: bool = False,
+    resampling: str = "bootstrap",
+    approx: bool = False,
+    resample_rep: bool = False,
+    boot_chunk: int = 1024,
+):
+    """Differential-correlation test for one tile of gene pairs.
+
+    Mirrors ``_ht_2d`` + ``_regress_2d`` (ref ``hypothesis_test.py:303-415``).
+    """
+    r, p, _ = values_1.shape
+    b = num_boot
+
+    n_chunks = max(1, -(-b // boot_chunk))
+    bc = -(-b // n_chunks)
+
+    def one_chunk(ci):
+        def per_group(r_idx):
+            k = fold_key(key, 0, r_idx, ci)
+            cov, v1, v2 = bootstrap_2d(
+                k,
+                values_1[r_idx],
+                values_2[r_idx],
+                counts[r_idx],
+                inv_sf[r_idx],
+                inv_sf_sq[r_idx],
+                n_obs[r_idx],
+                q[r_idx],
+                model,
+                bc,
+                sampler,
+            )
+            return corr_from_cov(cov, v1, v2)
+
+        return jax.vmap(per_group)(jnp.arange(r))  # [R, P, bc]
+
+    corr_c = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    boot_corr_raw = jnp.moveaxis(corr_c, 0, 2).reshape(r, p, n_chunks * bc)[..., :b]
+
+    # fill NaN replicates (ref hypothesis_test.py:35-40,344-348)
+    k_fill = fold_key(key, 1)
+    corr_valid = jnp.isfinite(boot_corr_raw)
+    filled_corr, corr_dead = fill_invalid(k_fill, boot_corr_raw, corr_valid)
+
+    moments_ok = jnp.isfinite(true_corr) & (jnp.abs(true_corr) != 1.0)
+    good = moments_ok & ~corr_dead  # [R, P]
+
+    boot_corr = jnp.concatenate(
+        [jnp.where(good, true_corr, 0.0)[..., None], filled_corr], axis=-1
+    )
+    boot_corr = jnp.where(good[..., None], boot_corr, 0.0)
+
+    weights = jnp.where(good, n_obs[:, None].astype(jnp.float32), 0.0)
+    k_resample = fold_key(key, 2)
+
+    def regress_pair(stats_g, treat_g, w_g, k_g):
+        return meta_regress(
+            covariate,
+            treat_g,
+            stats_g,
+            w_g,
+            one_sample=one_sample,
+            resample_rep=resample_rep,
+            key=k_g,
+        )
+
+    pair_keys = jax.vmap(lambda i: fold_key(k_resample, i))(jnp.arange(p))
+    corr_coef = jax.vmap(regress_pair, in_axes=(1, 0, 1, 0))(
+        boot_corr, treatment, weights, pair_keys
+    )  # [P, Kt, B+1]
+
+    corr_se = _nanstd(corr_coef[..., 1:])
+    corr_pval, corr_needs = asl_counting(corr_coef, resampling, approx)
+
+    any_good = jnp.any(good, axis=0)
+    nanify = lambda x: jnp.where(any_good[:, None], x, jnp.nan)
+    return {
+        "corr_coef": nanify(corr_coef[..., 0]),
+        "corr_se": nanify(corr_se),
+        "corr_pval": nanify(corr_pval),
+        "corr_needs_gev": corr_needs & any_good[:, None],
+        "corr_coef_full": corr_coef,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration: pad genes into tiles, run kernels, refine tails
+# ---------------------------------------------------------------------------
+
+
+def _pad_axis(arr, size, axis, fill=0.0):
+    pad = size - arr.shape[axis]
+    if pad <= 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths, constant_values=fill)
+
+
+def default_tile_size(r: int, u: int, boot_chunk: int,
+                      budget_elems: int = 1 << 27) -> int:
+    """Pick a gene-tile size that keeps the materialized multinomial draws
+    (``R x T x U x boot_chunk`` floats) within a memory budget."""
+    t = budget_elems // max(1, r * u * boot_chunk)
+    t = max(8, min(512, t))
+    return (t // 8) * 8
+
+
+def run_ht_1d(
+    key,
+    compressed: Sequence,  # list[CompressedGroup], aligned gene axis
+    true_mean: np.ndarray,  # [R, G]
+    true_res_var: np.ndarray,  # [R, G]
+    mv_coeffs: np.ndarray,  # [R, 3]
+    q: np.ndarray,  # [R]
+    covariate: np.ndarray,  # [R, K]
+    treatment: np.ndarray,  # [R, Kt] or [G, R, Kt] (per-gene treatments)
+    num_boot: int,
+    model: NoiseModel,
+    sampler: str = "multinomial",
+    resampling: str = "bootstrap",
+    approx: bool = False,
+    resample_rep: bool = False,
+    tile_size: Optional[int] = None,
+    boot_chunk: int = 1024,
+    verbose: bool = False,
+):
+    """Run the 1D test over all genes, tiling the gene axis.
+
+    Returns dict of ``[G, Kt]`` arrays: mean_coef/se/pval, var_coef/se/pval.
+    """
+    r = len(compressed)
+    g = true_mean.shape[1]
+    u = max(c.padded_u for c in compressed)
+
+    values = np.stack([_pad_axis(c.values, u, 1) for c in compressed])
+    counts = np.stack([_pad_axis(c.counts, u, 1) for c in compressed])
+    inv_sf = np.stack([_pad_axis(c.inv_sf, u, 1, fill=1.0) for c in compressed])
+    inv_sf_sq = np.stack([_pad_axis(c.inv_sf_sq, u, 1, fill=1.0) for c in compressed])
+    n_unique = np.stack([c.n_unique for c in compressed])
+    n_obs = np.array([c.n_obs for c in compressed], dtype=np.float32)
+
+    per_gene_treatment = treatment.ndim == 3
+    kt = treatment.shape[-1]
+    one_sample = bool(np.all(treatment == 1))
+
+    if tile_size is None:
+        tile_size = default_tile_size(r, u, min(boot_chunk, num_boot))
+
+    out = {
+        k: np.full((g, kt), np.nan)
+        for k in ["mean_coef", "mean_se", "mean_pval", "var_coef", "var_se", "var_pval"]
+    }
+
+    for start in range(0, g, tile_size):
+        stop = min(start + tile_size, g)
+        t = tile_size
+        sl = slice(start, stop)
+        if per_gene_treatment:
+            treat_tile = _pad_axis(treatment[sl], t, 0)
+        else:
+            treat_tile = np.broadcast_to(treatment, (stop - start, r, kt))
+            treat_tile = _pad_axis(treat_tile, t, 0)
+        res = ht_1d_tile(
+            fold_key(key, start),
+            jnp.asarray(_pad_axis(values[:, sl], t, 1)),
+            jnp.asarray(_pad_axis(counts[:, sl], t, 1)),
+            jnp.asarray(_pad_axis(inv_sf[:, sl], t, 1, fill=1.0)),
+            jnp.asarray(_pad_axis(inv_sf_sq[:, sl], t, 1, fill=1.0)),
+            jnp.asarray(_pad_axis(n_unique[:, sl], t, 1)),
+            jnp.asarray(_pad_axis(true_mean[:, sl], t, 1, fill=np.nan)),
+            jnp.asarray(_pad_axis(true_res_var[:, sl], t, 1, fill=np.nan)),
+            jnp.asarray(mv_coeffs, dtype=jnp.float32),
+            jnp.asarray(q, dtype=jnp.float32),
+            jnp.asarray(n_obs),
+            jnp.asarray(covariate, dtype=jnp.float32),
+            jnp.asarray(treat_tile, dtype=jnp.float32),
+            num_boot=num_boot,
+            model=model,
+            sampler=sampler,
+            one_sample=one_sample,
+            resampling=resampling,
+            approx=approx,
+            resample_rep=resample_rep,
+            boot_chunk=min(boot_chunk, num_boot),
+        )
+        n = stop - start
+        for stat in ("mean", "var"):
+            coef = np.asarray(res[f"{stat}_coef"])[:n]
+            se = np.asarray(res[f"{stat}_se"])[:n]
+            pval = np.asarray(res[f"{stat}_pval"])[:n]
+            if not approx:
+                needs = np.asarray(res[f"{stat}_needs_gev"])[:n]
+                if needs.any():
+                    full = np.asarray(res[f"{stat}_coef_full"])[:n]
+                    pval = refine_flagged(full, pval, needs, resampling)
+            out[f"{stat}_coef"][sl] = coef
+            out[f"{stat}_se"][sl] = se
+            out[f"{stat}_pval"][sl] = pval
+        if verbose:
+            print(f"ht_1d: genes {stop}/{g}")
+    return out
+
+
+def run_ht_2d(
+    key,
+    compressed_pairs: Sequence,  # list[CompressedPairGroup]
+    true_corr: np.ndarray,  # [R, P]
+    q: np.ndarray,
+    covariate: np.ndarray,
+    treatment: np.ndarray,  # [R, Kt] or [P, R, Kt]
+    num_boot: int,
+    model: NoiseModel,
+    sampler: str = "multinomial",
+    resampling: str = "bootstrap",
+    approx: bool = False,
+    resample_rep: bool = False,
+    tile_size: Optional[int] = None,
+    boot_chunk: int = 1024,
+    verbose: bool = False,
+):
+    """Run the 2D (differential correlation) test over all pairs."""
+    r = len(compressed_pairs)
+    p = true_corr.shape[1]
+    u = max(c.counts.shape[1] for c in compressed_pairs)
+
+    v1 = np.stack([_pad_axis(c.values_1, u, 1) for c in compressed_pairs])
+    v2 = np.stack([_pad_axis(c.values_2, u, 1) for c in compressed_pairs])
+    counts = np.stack([_pad_axis(c.counts, u, 1) for c in compressed_pairs])
+    inv_sf = np.stack([_pad_axis(c.inv_sf, u, 1, fill=1.0) for c in compressed_pairs])
+    inv_sf_sq = np.stack(
+        [_pad_axis(c.inv_sf_sq, u, 1, fill=1.0) for c in compressed_pairs]
+    )
+    n_obs = np.array([c.n_obs for c in compressed_pairs], dtype=np.float32)
+
+    per_pair_treatment = treatment.ndim == 3
+    kt = treatment.shape[-1]
+    one_sample = bool(np.all(treatment == 1))
+    if tile_size is None:
+        tile_size = default_tile_size(r, u, min(boot_chunk, num_boot))
+
+    out = {k: np.full((p, kt), np.nan) for k in ["corr_coef", "corr_se", "corr_pval"]}
+
+    for start in range(0, p, tile_size):
+        stop = min(start + tile_size, p)
+        t = tile_size
+        sl = slice(start, stop)
+        if per_pair_treatment:
+            treat_tile = _pad_axis(treatment[sl], t, 0)
+        else:
+            treat_tile = np.broadcast_to(treatment, (stop - start, r, kt))
+            treat_tile = _pad_axis(treat_tile, t, 0)
+        res = ht_2d_tile(
+            fold_key(key, start),
+            jnp.asarray(_pad_axis(v1[:, sl], t, 1)),
+            jnp.asarray(_pad_axis(v2[:, sl], t, 1)),
+            jnp.asarray(_pad_axis(counts[:, sl], t, 1)),
+            jnp.asarray(_pad_axis(inv_sf[:, sl], t, 1, fill=1.0)),
+            jnp.asarray(_pad_axis(inv_sf_sq[:, sl], t, 1, fill=1.0)),
+            jnp.asarray(_pad_axis(true_corr[:, sl], t, 1, fill=np.nan)),
+            jnp.asarray(q, dtype=jnp.float32),
+            jnp.asarray(n_obs),
+            jnp.asarray(covariate, dtype=jnp.float32),
+            jnp.asarray(treat_tile, dtype=jnp.float32),
+            num_boot=num_boot,
+            model=model,
+            sampler=sampler,
+            one_sample=one_sample,
+            resampling=resampling,
+            approx=approx,
+            resample_rep=resample_rep,
+            boot_chunk=min(boot_chunk, num_boot),
+        )
+        n = stop - start
+        coef = np.asarray(res["corr_coef"])[:n]
+        se = np.asarray(res["corr_se"])[:n]
+        pval = np.asarray(res["corr_pval"])[:n]
+        if not approx:
+            needs = np.asarray(res["corr_needs_gev"])[:n]
+            if needs.any():
+                full = np.asarray(res["corr_coef_full"])[:n]
+                pval = refine_flagged(full, pval, needs, resampling)
+        out["corr_coef"][sl] = coef
+        out["corr_se"][sl] = se
+        out["corr_pval"][sl] = pval
+        if verbose:
+            print(f"ht_2d: pairs {stop}/{p}")
+    return out
+
+
+__all__ = ["fill_invalid", "ht_1d_tile", "ht_2d_tile", "run_ht_1d", "run_ht_2d"]

@@ -1,0 +1,149 @@
+"""Weighted meta-regression across replicate groups (C11/C13 in SURVEY.md).
+
+The reference residualizes the bootstrap statistic matrices and the treatment
+on the covariates with weighted ``sklearn.LinearRegression`` fits (with
+intercept), then computes the treatment effect as a closed-form weighted
+cross-coefficient (ref ``/root/reference/memento/hypothesis_test.py:242-300,
+367-415``).  Here everything is closed-form WLS linear algebra, batched over
+genes with ``vmap`` — no sklearn, no per-gene Python.
+
+Group dropping (the reference subsets rows to ``good_idxs``) is expressed as
+zero weights: a group with weight 0 contributes nothing to any weighted sum,
+which is numerically identical to removing the row.  Callers must replace
+values in bad rows by finite dummies (0) before calling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def wls_residualize(covariate, y, weights):
+    """Residualize ``y`` on ``covariate`` (plus intercept) under WLS.
+
+    Equivalent to ``y - LinearRegression().fit(C, y, w).predict(C)``
+    (ref ``hypothesis_test.py:269-271``).
+
+    Args:
+      covariate: ``[R, K]``.
+      y: ``[R, M]`` (any number of response columns).
+      weights: ``[R]`` nonnegative; zero rows are excluded from the fit.
+
+    Returns:
+      ``[R, M]`` residuals (rows with zero weight contain garbage-but-finite
+      values; downstream weighted sums ignore them).
+    """
+    R = covariate.shape[0]
+    C = jnp.concatenate([jnp.ones((R, 1), covariate.dtype), covariate], axis=1)
+    Cw = C * weights[:, None]
+    A = C.T @ Cw  # [K+1, K+1]
+    A = A + _EPS * jnp.eye(A.shape[0], dtype=A.dtype)
+    beta = jnp.linalg.solve(A, Cw.T @ y)
+    return y - C @ beta
+
+
+def cross_coef(A, B, weights):
+    """Weighted cross regression coefficient (ref ``hypothesis_test.py:
+    218-228``): slope of each column of B on each column of A under weighted
+    simple regression.
+
+    Args:
+      A: ``[R, Kt]`` treatments; B: ``[R, M]`` statistics; weights ``[R]``.
+
+    Returns:
+      ``[Kt, M]``.
+    """
+    wsum = weights.sum() + _EPS
+    A_c = A - (weights[:, None] * A).sum(0) / wsum
+    B_c = B - (weights[:, None] * B).sum(0) / wsum
+    ssA = (weights[:, None] * A_c * A_c).sum(0) / wsum  # [Kt]
+    num = (A_c * weights[:, None]).T @ B_c / wsum  # [Kt, M]
+    return num / (ssA[:, None] + _EPS)
+
+
+def cross_coef_resampled(A, B, weights):
+    """Hierarchical-bootstrap cross coefficient (ref ``hypothesis_test.py:
+    231-239``): per-column resampled replicate sets.
+
+    Args:
+      A: ``[R, M, Kt]`` resampled treatments; B: ``[R, M]`` resampled stats;
+      weights: ``[R, M]`` resampled group weights.
+
+    Returns:
+      ``[Kt, M]``.
+    """
+    wsum = weights.sum(0) + _EPS  # [M]
+    B_c = B - (weights * B).sum(0) / wsum
+    A_c = A - (A * weights[..., None]).sum(0) / wsum[:, None]
+    ssA = (A_c**2 * weights[..., None]).sum(0) / wsum[:, None]  # [M, Kt]
+    num = jnp.einsum("rmk,rm->mk", A_c * weights[..., None], B_c)  # [M, Kt]
+    return (num / wsum[:, None] / (ssA + _EPS)).T
+
+
+def resampled_indices(key, num_rep: int, num_boot: int):
+    """Random hierarchical-bootstrap assignments (ref ``hypothesis_test.py:
+    275-278``): column 0 keeps the observed configuration.
+
+    Returns:
+      (rep_assign, iter_assign): both ``[R, B]`` int32, where column 0 is
+      (arange(R), 0).
+    """
+    k1, k2 = jax.random.split(key)
+    rep = jax.random.randint(k1, (num_rep, num_boot), 0, num_rep)
+    rep = rep.at[:, 0].set(jnp.arange(num_rep))
+    it = jax.random.randint(k2, (num_rep, num_boot), 0, num_boot) + 1
+    it = it.at[:, 0].set(0)
+    return rep, it
+
+
+def meta_regress(covariate, treatment, stats, weights, one_sample: bool,
+                 resample_rep: bool = False, key=None):
+    """Full meta-regression for one gene: coefficients for every treatment
+    column against every bootstrap column.
+
+    Mirrors ``_regress_1d`` / ``_regress_2d`` minus the ASL step
+    (ref ``hypothesis_test.py:242-291,367-408``).
+
+    Args:
+      covariate: ``[R, K]``.
+      treatment: ``[R, Kt]``.
+      stats: ``[R, B+1]`` statistic matrix; column 0 is the observed value.
+      weights: ``[R]`` cell counts (0 = dropped group).
+      one_sample: static flag — treatment identically 1 means the statistic
+        is the weighted average itself (ref ``hypothesis_test.py:262-265``).
+      resample_rep: hierarchical bootstrap over replicate groups.
+      key: PRNG key (required when resample_rep).
+
+    Returns:
+      coef ``[Kt, B+1]`` (``[Kt, B]`` under resample_rep, column 0 observed).
+    """
+    if one_sample:
+        wsum = weights.sum() + _EPS
+        avg = (weights[:, None] * stats).sum(0) / wsum
+        return avg[None, :]
+
+    stats_t = wls_residualize(covariate, stats, weights)
+    treat_t = wls_residualize(covariate, treatment, weights)
+
+    if resample_rep:
+        num_rep = stats.shape[0]
+        num_boot = stats.shape[1] - 1
+        rep, it = resampled_indices(key, num_rep, num_boot)
+        stats_rs = stats_t[rep, it]  # [R, B]
+        treat_rs = treat_t[rep]  # [R, B, Kt]
+        w_rs = weights[rep]  # [R, B]
+        return cross_coef_resampled(treat_rs, stats_rs, w_rs)
+
+    return cross_coef(treat_t, stats_t, weights)
+
+
+__all__ = [
+    "wls_residualize",
+    "cross_coef",
+    "cross_coef_resampled",
+    "resampled_indices",
+    "meta_regress",
+]
