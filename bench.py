@@ -1,0 +1,146 @@
+"""Benchmark: 1D hypothesis-test throughput on the reference's headline config.
+
+Reference baseline (BASELINE.md): CPU memento runs the 1D differential-mean/
+variability test at 0.0446 s/gene on 200k cells with B=1000 bootstrap
+replicates (permutation resampling, approximate p-values) on 1 CPU
+(`/root/reference/analysis/simulation/runtime/plots.ipynb`), i.e. ~22.4
+genes/s.
+
+This benchmark simulates the same scale (200k cells, 2 groups), runs the
+full pipeline — host compression + device bootstrap/regression/ASL — and
+reports end-to-end genes/s (excluding simulation data generation and the
+one-time jit compile, matching the reference's steady-state measurement).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "genes/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import scipy.sparse as sparse
+
+N_CELLS = int(os.environ.get("BENCH_CELLS", 200_000))
+N_GENES = int(os.environ.get("BENCH_GENES", 2048))
+NUM_BOOT = int(os.environ.get("BENCH_BOOT", 1000))
+BASELINE_S_PER_GENE = 0.0446  # CPU memento @200k cells, B=1000 (BASELINE.md)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def simulate(n_cells, n_genes, seed=0):
+    """Chunked NB-ish counts: 2 groups, log-uniform base means, q=0.1."""
+    rng = np.random.default_rng(seed)
+    base = np.exp(rng.uniform(np.log(0.05), np.log(3.0), n_genes))
+    blocks = []
+    chunk = 20_000
+    for start in range(0, n_cells, chunk):
+        m = min(chunk, n_cells - start)
+        lam = rng.gamma(2.0, base / 2.0, size=(m, n_genes))
+        blocks.append(sparse.csr_matrix(rng.poisson(lam * 0.1).astype(np.float32)))
+    return sparse.vstack(blocks).tocsr()
+
+
+def main():
+    t0 = time.time()
+    import jax
+
+    import memento_tpu as mt
+    from memento_tpu.inference.ht import run_ht_1d
+    from memento_tpu.ops.compress import compress_group
+    from memento_tpu.ops.estimators import get_noise_model, mean_var_sparse
+    from memento_tpu.ops.mv_regression import fit_mv_regressor
+    from memento_tpu.api import _residual_variance_np
+    from memento_tpu.ops.size_factor import bin_size_factor, estimate_size_factor
+
+    log(f"devices: {jax.devices()}")
+    log(f"simulating {N_CELLS} cells x {N_GENES} genes ...")
+    X = simulate(N_CELLS, N_GENES)
+    log(f"nnz = {X.nnz}")
+
+    q = 0.1
+    model = get_noise_model("hyper_relative")
+    half = N_CELLS // 2
+    groups = [X[:half].tocsc(), X[half:].tocsc()]
+
+    # -- setup phase (size factors, observed moments) — untimed, mirrors the
+    #    reference's setup which is outside its per-gene timing
+    sf = estimate_size_factor(X, mask=np.ones(N_GENES, bool), shrinkage=0.5)
+    approx_sf = bin_size_factor(sf, num_bins=30)
+    offs = [0, half, N_CELLS]
+    true_mean, true_var = [], []
+    for r in range(2):
+        m, v = mean_var_sparse(groups[r], sf[offs[r]:offs[r + 1]], q)
+        true_mean.append(m)
+        true_var.append(v)
+    true_mean, true_var = np.array(true_mean), np.array(true_var)
+    mv = fit_mv_regressor(true_mean.ravel(), true_var.ravel())
+    true_res_var = np.stack(
+        [_residual_variance_np(true_mean[r], true_var[r], mv) for r in range(2)]
+    )
+
+    covariate = np.ones((2, 1))
+    treatment = np.array([[0.0], [1.0]])
+
+    def run(n_genes_sub, seed):
+        """Timed region: compression + device HT, like the reference's
+        per-gene walltime which includes its per-worker _unique_expr."""
+        comps = [
+            compress_group(g[:, :n_genes_sub], approx_sf[offs[r]:offs[r + 1]])
+            for r, g in enumerate(groups)
+        ]
+        return run_ht_1d(
+            key=jax.random.key(seed),
+            compressed=comps,
+            true_mean=true_mean[:, :n_genes_sub],
+            true_res_var=true_res_var[:, :n_genes_sub],
+            mv_coeffs=np.tile(mv, (2, 1)),
+            q=np.full(2, q),
+            covariate=covariate,
+            treatment=treatment,
+            num_boot=NUM_BOOT,
+            model=model,
+            sampler="multinomial",
+            resampling="permutation",
+            approx=True,
+            boot_chunk=NUM_BOOT,
+        )
+
+    # warmup: small tile to trigger all compiles
+    log("warmup/compile ...")
+    t = time.time()
+    run(256, 1)
+    log(f"warmup done in {time.time()-t:.1f}s")
+
+    log(f"timed run: {N_GENES} genes, B={NUM_BOOT} ...")
+    t = time.time()
+    res = run(N_GENES, 0)
+    elapsed = time.time() - t
+    genes_per_s = N_GENES / elapsed
+    log(
+        f"elapsed {elapsed:.2f}s -> {genes_per_s:.1f} genes/s "
+        f"({elapsed/N_GENES*1000:.3f} ms/gene); "
+        f"finite pvals: {np.isfinite(res['mean_pval']).mean():.3f}; "
+        f"total walltime {time.time()-t0:.1f}s"
+    )
+
+    baseline = 1.0 / BASELINE_S_PER_GENE
+    print(
+        json.dumps(
+            {
+                "metric": "ht_1d_genes_per_s_200k_cells_B1000",
+                "value": round(genes_per_s, 2),
+                "unit": "genes/s",
+                "vs_baseline": round(genes_per_s / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

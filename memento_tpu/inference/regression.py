@@ -40,7 +40,12 @@ def wls_residualize(covariate, y, weights):
     C = jnp.concatenate([jnp.ones((R, 1), covariate.dtype), covariate], axis=1)
     Cw = C * weights[:, None]
     A = C.T @ Cw  # [K+1, K+1]
-    A = A + _EPS * jnp.eye(A.shape[0], dtype=A.dtype)
+    # Trace-scaled ridge: users routinely pass a covariate that already
+    # contains an intercept column (the reference's sklearn LinearRegression
+    # absorbs the resulting rank deficiency via lstsq); the scaled ridge
+    # yields the same projection residuals to O(1e-6) without an SVD.
+    lam = 1e-6 * jnp.trace(A) / A.shape[0] + 1e-30
+    A = A + lam * jnp.eye(A.shape[0], dtype=A.dtype)
     beta = jnp.linalg.solve(A, Cw.T @ y)
     return y - C @ beta
 

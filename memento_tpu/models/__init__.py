@@ -1,1 +1,5 @@
-"""memento_tpu.models"""
+"""Generative / statistical models: noise processes and simulation."""
+
+from . import simulate
+
+__all__ = ["simulate"]

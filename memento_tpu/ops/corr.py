@@ -1,0 +1,123 @@
+"""Pairwise covariance and all-by-all correlation matrices (C5/C18).
+
+Two paths:
+
+- ``cov_sparse_pairs``: host-side exact covariances for explicit gene-pair
+  lists (mirrors ``_hyper_cov_relative``'s sparse branch, ref
+  ``/root/reference/memento/estimator.py:207-233``).
+- ``corr_matrix_device``: the G x G symmetric correlation matrix
+  (ref ``_hyper_corr_symmetric``, ``estimator.py:236-270``) computed as a
+  blocked weighted Gram matrix on device — cells stream through in dense
+  tiles and accumulate ``(WX)^T (WX)`` with MXU matmuls, the one O(G^2 N)
+  op in the framework (SURVEY.md §3.5).  Shardable over cells (psum) and
+  over G x G output tiles (the "tensor parallel" analog of SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sparse
+
+from .estimators import NoiseModel
+
+
+def cov_sparse_pairs(X, size_factor, q, idx1, idx2, model: NoiseModel):
+    """Exact covariance for pair lists from sparse data (host path).
+
+    cov_p = (1/N) sum_c x1 x2 / sf^2
+            - [idx1==idx2] * c * (1/N) sum_c x1 / sf^2
+            - ((1/N) sum x1/sf) ((1/N) sum x2/sf)
+
+    Note the reference computes the mean terms as means of the
+    *sqrt-weighted* columns (``X.mean(axis=0)`` of ``x/sf``), identical to
+    ``(1/N) sum x/sf``.
+    """
+    X = X.tocsc() if sparse.issparse(X) else sparse.csc_matrix(X)
+    n = X.shape[0]
+    sf = np.asarray(size_factor, dtype=np.float64)
+    w = (1.0 / sf).reshape(1, -1)
+    w2 = w**2
+    idx1 = np.asarray(idx1)
+    idx2 = np.asarray(idx2)
+
+    s1 = np.asarray(w @ X).ravel() / n  # per-gene mean of x/sf
+    s1sq = np.asarray(w2 @ X).ravel() / n  # per-gene mean of x/sf^2
+
+    X1 = X[:, idx1]
+    X2 = X[:, idx2]
+    inv2 = sparse.diags((1.0 / sf) ** 2)
+    prod = np.asarray((X1.multiply(inv2 @ X2)).sum(axis=0)).ravel() / n
+
+    c = float(np.asarray(model.var_correction(q)))
+    same = idx1 == idx2
+    prod = prod - np.where(same, c * s1sq[idx1], 0.0)
+    return prod - s1[idx1] * s1[idx2]
+
+
+@functools.partial(jax.jit, donate_argnums=(3, 4, 5))
+def _gram_update(xb, inv_sf_b, inv_sf_sq_b, S, s1, sdiag):
+    """Accumulate one dense cell block into the Gram statistics."""
+    wx = xb * inv_sf_b[:, None]
+    S = S + jnp.dot(wx.T, wx, preferred_element_type=jnp.float32)
+    s1 = s1 + wx.sum(axis=0)
+    sdiag = sdiag + (inv_sf_sq_b[:, None] * xb).sum(axis=0)
+    return S, s1, sdiag
+
+
+def corr_matrix_device(X, size_factor, q, var, model: NoiseModel,
+                       block: int = 2048):
+    """All-by-all correlation matrix via blocked device matmuls.
+
+    Args:
+      X: ``[N, G]`` sparse/dense counts for one group.
+      size_factor: ``[N]`` exact size factors.
+      q: group capture efficiency.
+      var: ``[G]`` per-gene variances (1d moments) for the denominator.
+      block: cells per streamed dense tile.
+
+    Returns:
+      ``[G, G]`` numpy array with the reference's semantics
+      (ref ``estimator.py:256-268``): invalid variances or out-of-range
+      values -> NaN, values within +-1.05 clipped to [-1, 1].
+    """
+    n, g = X.shape
+    sf = np.asarray(size_factor, dtype=np.float64)
+    S = jnp.zeros((g, g), jnp.float32)
+    s1 = jnp.zeros((g,), jnp.float32)
+    sdiag = jnp.zeros((g,), jnp.float32)
+    issp = sparse.issparse(X)
+    Xc = X.tocsr() if issp else np.asarray(X)
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        xb = Xc[start:stop]
+        xb = np.asarray(xb.todense()) if issp else xb
+        S, s1, sdiag = _gram_update(
+            jnp.asarray(xb, jnp.float32),
+            jnp.asarray(1.0 / sf[start:stop], jnp.float32),
+            jnp.asarray(1.0 / sf[start:stop] ** 2, jnp.float32),
+            S, s1, sdiag,
+        )
+    S = np.asarray(S, dtype=np.float64)
+    s1 = np.asarray(s1, dtype=np.float64)
+    sdiag = np.asarray(sdiag, dtype=np.float64)
+
+    c = float(np.asarray(model.var_correction(q)))
+    prod = S / n
+    np.fill_diagonal(prod, np.diag(prod) - c * sdiag / n)
+    cov = prod - np.outer(s1 / n, s1 / n)
+
+    var = np.asarray(var, dtype=np.float64).copy()
+    var[var <= 0] = np.nan
+    denom = np.sqrt(np.outer(var, var))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = cov / denom
+    corr = np.where(np.abs(corr) <= 1.05, np.clip(corr, -1.0, 1.0), np.nan)
+    corr[~np.isfinite(denom)] = np.nan
+    return corr
+
+
+__all__ = ["cov_sparse_pairs", "corr_matrix_device"]

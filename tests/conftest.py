@@ -1,21 +1,33 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Must set the XLA flags before jax initializes (first import).
+The harness environment pins ``JAX_PLATFORMS=axon`` (a remote TPU tunnel
+with remote compilation); tests must force the CPU platform to run
+hermetically.  The axon ``sitecustomize`` also initializes JAX's CPU client
+with a single device at interpreter startup, so multi-device tests cannot
+get a virtual mesh in-process — they spawn a scrubbed subprocess instead
+(see ``tests/test_parallel.py`` and ``scrubbed_env`` below).
 """
 
 import os
 
-# The harness environment pins JAX_PLATFORMS=axon (remote TPU tunnel); tests
-# must force-override it to run hermetically on the host CPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import numpy as np
 import pytest
+
+
+def scrubbed_env(n_devices: int = 8):
+    """Environment for subprocesses that need ``n_devices`` CPU devices:
+    disables the axon sitecustomize (which pre-initializes JAX) and forces
+    the virtual CPU device count."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    return env
 
 
 @pytest.fixture

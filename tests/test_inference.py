@@ -1,0 +1,152 @@
+"""Meta-regression and ASL vs oracle implementations."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from memento_tpu.inference import regression as reg
+from memento_tpu.inference.asl import asl_counting, gev_refine
+
+import oracle
+
+
+def test_wls_residualize_matches_sklearn_style(rng):
+    R, K, M = 6, 2, 5
+    C = rng.normal(size=(R, K))
+    Y = rng.normal(size=(R, M))
+    w = rng.random(R) + 0.2
+    got = np.asarray(reg.wls_residualize(jnp.asarray(C), jnp.asarray(Y), jnp.asarray(w)))
+    want = oracle.wls_residualize(C, Y, w)
+    # device kernels run float32; tolerance reflects f32 solve conditioning
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+
+
+def test_cross_coef_matches_oracle(rng):
+    R, Kt, M = 8, 3, 7
+    A = rng.normal(size=(R, Kt))
+    B = rng.normal(size=(R, M))
+    w = rng.random(R) + 0.2
+    got = np.asarray(reg.cross_coef(jnp.asarray(A), jnp.asarray(B), jnp.asarray(w)))
+    want = oracle.cross_coef(A, B, w)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+
+
+def test_zero_weight_equals_row_drop(rng):
+    """A zero-weight group must behave exactly like a removed row."""
+    R, Kt, M = 6, 1, 4
+    A = rng.normal(size=(R, Kt))
+    B = rng.normal(size=(R, M))
+    C = rng.normal(size=(R, 1))
+    w = rng.random(R) + 0.2
+    w0 = w.copy()
+    w0[2] = 0.0
+    keep = np.arange(R) != 2
+
+    full = np.asarray(
+        reg.meta_regress(
+            jnp.asarray(C), jnp.asarray(A), jnp.asarray(B), jnp.asarray(w0),
+            one_sample=False,
+        )
+    )
+    dropped = np.asarray(
+        reg.meta_regress(
+            jnp.asarray(C[keep]), jnp.asarray(A[keep]), jnp.asarray(B[keep]),
+            jnp.asarray(w[keep]), one_sample=False,
+        )
+    )
+    np.testing.assert_allclose(full, dropped, rtol=1e-3, atol=1e-4)
+
+
+def test_one_sample_weighted_average(rng):
+    R, M = 5, 6
+    B = rng.normal(size=(R, M))
+    w = rng.random(R) + 0.2
+    got = np.asarray(
+        reg.meta_regress(
+            jnp.zeros((R, 1)), jnp.ones((R, 1)), jnp.asarray(B), jnp.asarray(w),
+            one_sample=True,
+        )
+    )
+    want = np.average(B, axis=0, weights=w).reshape(1, -1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_asl_counting_matches_reference_formula(rng):
+    B = 999
+    coef = rng.normal(size=(4, B + 1)).astype(np.float32)
+    coef[0, 0] = 5.0  # extreme stat -> tiny count -> flagged for GEV
+    p, needs = asl_counting(jnp.asarray(coef), "bootstrap", approx=False)
+    p, needs = np.asarray(p), np.asarray(needs)
+    for i in range(4):
+        stat = coef[i, 0]
+        null = coef[i, 1:] - stat
+        ec = ((null > abs(stat)) | (null < -abs(stat))).sum()
+        want = (ec + 1) / (B + 1)
+        np.testing.assert_allclose(p[i], want, rtol=1e-6)
+        assert needs[i] == (ec <= 10)
+
+
+def test_asl_permutation_null(rng):
+    B = 500
+    coef = rng.normal(size=(1, B + 1)).astype(np.float32)
+    p_b, _ = asl_counting(jnp.asarray(coef), "bootstrap", approx=False)
+    p_p, _ = asl_counting(jnp.asarray(coef), "permutation", approx=False)
+    stat = coef[0, 0]
+    null_p = coef[0, 1:]
+    ec = ((null_p > abs(stat)) | (null_p < -abs(stat))).sum()
+    np.testing.assert_allclose(np.asarray(p_p)[0], (ec + 1) / (B + 1), rtol=1e-6)
+    assert not np.allclose(np.asarray(p_b), np.asarray(p_p))
+
+
+def test_asl_approx_normal(rng):
+    import scipy.stats as sstats
+
+    B = 2000
+    coef = np.concatenate([[2.5], rng.normal(0, 1, B)]).reshape(1, -1)
+    p, _ = asl_counting(jnp.asarray(coef, dtype=jnp.float32), "permutation",
+                        approx=True)
+    mu, sd = sstats.norm.fit(coef[0, 1:])
+    want = sstats.norm.sf(2.5, mu, sd) + sstats.norm.cdf(-2.5, mu, sd)
+    np.testing.assert_allclose(np.asarray(p)[0], want, rtol=1e-3)
+
+
+def test_asl_degenerate_is_nan():
+    coef = np.ones((1, 101), dtype=np.float32)
+    p, needs = asl_counting(jnp.asarray(coef), "bootstrap", approx=False)
+    assert np.isnan(np.asarray(p)[0])
+    assert not np.asarray(needs)[0]
+
+
+def test_gev_refine_reasonable(rng):
+    """GEV refinement of an extreme stat should give a small finite p below
+    the counting bound."""
+    null = rng.normal(0, 1, 2000)
+    stat = 6.0
+    fallback = 1 / 2001
+    p = gev_refine(stat, null, fallback)
+    assert np.isfinite(p)
+    assert p <= fallback * 2  # refined tail estimate is in the same regime
+
+
+def test_resampled_indices_column0():
+    rep, it = reg.resampled_indices(jax.random.key(0), 5, 100)
+    rep, it = np.asarray(rep), np.asarray(it)
+    np.testing.assert_array_equal(rep[:, 0], np.arange(5))
+    np.testing.assert_array_equal(it[:, 0], 0)
+    assert rep.min() >= 0 and rep.max() < 5
+    assert it.min() >= 0 and it.max() <= 100
+
+
+def test_fill_invalid(rng):
+    from memento_tpu.inference.ht import fill_invalid
+
+    vals = rng.normal(size=(3, 50)).astype(np.float32)
+    valid = vals > 0
+    valid[2] = False  # a dead row
+    filled, dead = fill_invalid(jax.random.key(0), jnp.asarray(vals), jnp.asarray(valid))
+    filled, dead = np.asarray(filled), np.asarray(dead)
+    assert dead.tolist() == [False, False, True]
+    # valid entries untouched; invalid entries replaced by some valid value
+    for i in range(2):
+        np.testing.assert_array_equal(filled[i][valid[i]], vals[i][valid[i]])
+        assert np.all(np.isin(filled[i][~valid[i]], vals[i][valid[i]]))

@@ -1,0 +1,82 @@
+"""Native C++ compressor vs the numpy path (which is oracle-tested)."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import scipy.sparse as sparse
+
+from memento_tpu import native
+from memento_tpu.ops.compress import _compress_group_numpy
+from memento_tpu.ops.size_factor import bin_size_factor
+
+NATIVE_DIR = Path(__file__).resolve().parent.parent / "memento_tpu" / "native"
+
+
+def _ensure_built():
+    if native.available():
+        return True
+    try:
+        subprocess.run(["make"], cwd=NATIVE_DIR, check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        return False
+    # reset the loader cache
+    native._LIB = None
+    return native.available()
+
+
+@pytest.mark.skipif(not _ensure_built(), reason="native build unavailable")
+def test_native_matches_numpy(rng):
+    n, g = 500, 25
+    X = rng.poisson(0.9, size=(n, g)).astype(np.float64)
+    X[:, 3] = 0  # an all-zero gene
+    sf = rng.random(n) + 0.5
+    approx_sf = bin_size_factor(sf, num_bins=12)
+    Xs = sparse.csr_matrix(X)
+
+    ref = _compress_group_numpy(Xs, approx_sf, 8, 8)
+    got = native._compress_group_native(Xs, approx_sf, 8, 8)
+    assert got is not None
+
+    np.testing.assert_array_equal(got.n_unique, ref.n_unique)
+    assert got.n_obs == ref.n_obs
+    for j in range(g):
+        u = ref.n_unique[j]
+        # compare as sorted combo sets (slot order within zero/nonzero parts
+        # is an implementation detail)
+        def combos(c, j, u):
+            arr = np.stack(
+                [c.values[j, :u], 1.0 / c.inv_sf[j, :u], c.counts[j, :u]],
+                axis=1,
+            )
+            return arr[np.lexsort((arr[:, 1], arr[:, 0]))]
+
+        np.testing.assert_allclose(combos(got, j, u), combos(ref, j, u),
+                                   rtol=1e-6)
+        assert np.all(got.counts[j, u:] == 0)
+        assert np.all(got.inv_sf[j, u:] == 1.0)
+
+
+@pytest.mark.skipif(not _ensure_built(), reason="native build unavailable")
+def test_native_speed_sanity(rng):
+    """Native path should not be slower than numpy on a realistic slab."""
+    import time
+
+    n, g = 20000, 400
+    X = sparse.random(n, g, density=0.15, format="csr",
+                      data_rvs=lambda k: rng.poisson(2.0, k) + 1,
+                      random_state=np.random.RandomState(0))
+    approx_sf = bin_size_factor(rng.random(n) + 0.5, num_bins=30)
+
+    t0 = time.time()
+    a = _compress_group_numpy(X, approx_sf, 8, 8)
+    t_np = time.time() - t0
+    t0 = time.time()
+    b = native._compress_group_native(X, approx_sf, 8, 8)
+    t_na = time.time() - t0
+    np.testing.assert_array_equal(a.n_unique, b.n_unique)
+    sys.stderr.write(f"\ncompress: numpy {t_np*1e3:.1f}ms native {t_na*1e3:.1f}ms\n")
+    assert t_na < t_np * 2.0  # sanity; typically much faster
