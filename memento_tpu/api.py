@@ -451,7 +451,7 @@ def ht_1d_moments(
     resampling="bootstrap",
     approx=False,
     resample_rep=False,
-    sampler="multinomial",
+    sampler="cascade",
     tile_size=None,
     boot_chunk=1024,
     seed=0,
@@ -549,7 +549,7 @@ def ht_2d_moments(
     resampling="bootstrap",
     approx=False,
     resample_rep=False,
-    sampler="multinomial",
+    sampler="cascade",
     tile_size=None,
     boot_chunk=1024,
     seed=0,

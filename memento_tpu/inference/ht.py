@@ -51,15 +51,19 @@ def fill_invalid(key, vals, valid):
     Returns:
       (filled ``[..., B]``, all_invalid ``[...]`` bool).
     """
-    batch = vals.shape[:-1]
     b = vals.shape[-1]
-    logits = jnp.where(valid, 0.0, -jnp.inf)
     all_invalid = ~jnp.any(valid, axis=-1)
-    # guard fully-invalid rows so categorical sees finite logits
-    logits = jnp.where(all_invalid[..., None], 0.0, logits)
-    idx = jax.random.categorical(key, logits, axis=-1, shape=(b, *batch))
-    idx = jnp.moveaxis(idx, 0, -1)  # [..., B]
-    donors = jnp.take_along_axis(vals, idx, axis=-1)
+    # Stable-sort invalidity: the first V positions of `order` are the valid
+    # indices (original order).  O(B log B) per row — a categorical over the
+    # B entries would be O(B^2) and dominated the whole pipeline.
+    order = jnp.argsort(~valid, axis=-1, stable=True)
+    n_valid = jnp.maximum(valid.sum(axis=-1), 1)
+    u = jax.random.uniform(key, vals.shape)
+    pick = jnp.minimum(
+        (u * n_valid[..., None]).astype(jnp.int32), (n_valid - 1)[..., None]
+    )
+    donor_idx = jnp.take_along_axis(order, pick, axis=-1)
+    donors = jnp.take_along_axis(vals, donor_idx, axis=-1)
     filled = jnp.where(valid, vals, donors)
     return filled, all_invalid
 
@@ -99,7 +103,7 @@ def ht_1d_tile(
     *,
     num_boot: int,
     model: NoiseModel,
-    sampler: str = "multinomial",
+    sampler: str = "cascade",
     one_sample: bool = False,
     resampling: str = "bootstrap",
     approx: bool = False,
@@ -264,7 +268,7 @@ def ht_2d_tile(
     *,
     num_boot: int,
     model: NoiseModel,
-    sampler: str = "multinomial",
+    sampler: str = "cascade",
     one_sample: bool = False,
     resampling: str = "bootstrap",
     approx: bool = False,
@@ -384,7 +388,7 @@ def run_ht_1d(
     treatment: np.ndarray,  # [R, Kt] or [G, R, Kt] (per-gene treatments)
     num_boot: int,
     model: NoiseModel,
-    sampler: str = "multinomial",
+    sampler: str = "cascade",
     resampling: str = "bootstrap",
     approx: bool = False,
     resample_rep: bool = False,
@@ -478,7 +482,7 @@ def run_ht_2d(
     treatment: np.ndarray,  # [R, Kt] or [P, R, Kt]
     num_boot: int,
     model: NoiseModel,
-    sampler: str = "multinomial",
+    sampler: str = "cascade",
     resampling: str = "bootstrap",
     approx: bool = False,
     resample_rep: bool = False,

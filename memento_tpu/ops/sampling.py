@@ -27,7 +27,86 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-SAMPLERS = ("multinomial", "poisson", "gaussian")
+SAMPLERS = ("multinomial", "cascade", "poisson", "gaussian")
+
+# --- cascade sampler tuning -------------------------------------------------
+# Bins whose expected resample count is below CASCADE_TAU are sampled from a
+# truncated-Poisson inverse-CDF table (exact up to the O(c/N) Poisson-vs-
+# binomial error); larger bins use a rounded Gaussian with the exact
+# conditional-binomial mean/variance (CLT regime).  CASCADE_K bounds the
+# table support: P[Poisson(tau) > CASCADE_K] < 1e-8 at tau=24.
+CASCADE_TAU = 24.0
+CASCADE_K = 56
+
+
+def poisson_cdf_table(lam, k_max: int = CASCADE_K):
+    """CDF table of Poisson(lam) on {0..k_max-1}.
+
+    Args:
+      lam: ``[...]`` rates.
+    Returns:
+      cdf ``[..., k_max]`` with cdf[..., k] = P[X <= k].
+    """
+    lam = jnp.asarray(lam, jnp.float32)
+    pmf0 = jnp.exp(-lam)
+
+    def step(p, k):
+        p_next = p * lam / (k + 1.0)
+        return p_next, p_next
+
+    _, pmf_rest = jax.lax.scan(step, pmf0, jnp.arange(k_max - 1, dtype=jnp.float32))
+    pmf = jnp.concatenate([pmf0[None], pmf_rest], axis=0)  # [K, ...]
+    cdf = jnp.cumsum(pmf, axis=0)
+    return jnp.moveaxis(cdf, 0, -1)
+
+
+def _approx_binomial_step(key, remaining, expected_remaining, ratio, lam0,
+                          cdf, tau=CASCADE_TAU):
+    """One conditional-binomial draw of the cascade, without rejection loops.
+
+    Args:
+      remaining: ``[..., B]`` trials left.
+      expected_remaining: ``[...]`` E[remaining] at this step (the tail count
+        sum) — anchors the conditional-mean correction of the table branch.
+      ratio: ``[...]`` conditional success probability of this bin.
+      lam0: ``[...]`` expected draw count (the bin's observed multiplicity) —
+        decides the Gaussian vs Poisson-table branch; the branch condition is
+        per-bin, not per-replicate, because remaining concentrates at
+        O(sqrt(N)) around its mean.
+      cdf: ``[..., K]`` truncated-Poisson CDF at rate lam0.
+
+    Returns:
+      draws ``[..., B]`` (may be fractional in the table branch — the
+      downstream use is a linear moment contraction, not a count).
+    """
+    r = ratio[..., None]
+    kg, kt = jax.random.split(key)
+    # Gaussian branch: exact conditional mean/variance, rounded and clamped.
+    m = remaining * r
+    s = jnp.sqrt(jnp.maximum(m * (1.0 - r), 0.0))
+    z = jax.random.normal(kg, remaining.shape)
+    g = jnp.clip(jnp.round(m + s * z), 0.0, remaining)
+    # Poisson-table branch: invert the per-bin CDF with one uniform, then
+    # add the conditional-mean shift ratio*(remaining - E[remaining]).
+    # Without the shift the small bins are mutually independent and the
+    # multinomial's negative cross-bin covariance is lost, inflating the
+    # bootstrap variance of weighted sums by ~(sum w c)^2 / (N sum w^2 c).
+    u01 = jax.random.uniform(kt, remaining.shape)
+    t = (u01[..., None] > cdf[..., None, :]).sum(-1).astype(remaining.dtype)
+    # Poisson variance is lam; the conditional binomial's is lam*(1-p_cond).
+    # Rescale the centered draw to remove the O(p_cond) variance excess.
+    p_cond = lam0[..., None] / jnp.maximum(expected_remaining[..., None], 1.0)
+    t = lam0[..., None] + (t - lam0[..., None]) * jnp.sqrt(
+        jnp.maximum(1.0 - p_cond, 0.0)
+    )
+    t = t + r * (remaining - expected_remaining[..., None])
+    t = jnp.clip(t, 0.0, remaining)
+    small = (lam0 < tau)[..., None]
+    draws = jnp.where(small, t, g)
+    # Last real bin (ratio ~= 1) absorbs all remaining trials — this is the
+    # conditioning that keeps every replicate's total exactly N.
+    draws = jnp.where(r >= 1.0 - 1e-6, remaining, draws)
+    return jnp.where(r <= 0.0, jnp.zeros_like(draws), draws)
 
 
 def bootstrap_counts(key, counts, n_obs, num_boot: int,
@@ -70,6 +149,96 @@ def bootstrap_counts(key, counts, n_obs, num_boot: int,
     return jnp.moveaxis(draws, 0, -1)
 
 
+def fused_bootstrap_sums(key, counts, weights, n_obs, num_boot: int,
+                         sampler: str = "cascade"):
+    """Bootstrap-resample and contract in one scan — draws never hit HBM.
+
+    Factorizes the multinomial over unique-value bins into conditional
+    binomials (the same chain numpy's multinomial uses) and, at every step,
+    accumulates the weighted sums the estimators need instead of
+    materializing the ``[..., U, B]`` count tensor:
+
+        sums_w = sum_u weights[..., u, w] * n_ub
+
+    Two per-step samplers:
+      - ``'cascade'`` (default): Gaussian / truncated-Poisson hybrid
+        (`_approx_binomial_step`) — no rejection loops, no transcendentals
+        in the hot path; per-bin error O(c/N) for small bins, CLT-level for
+        large bins.  ~20x faster than BTRS on TPU.
+      - ``'multinomial'``: exact ``jax.random.binomial`` (BTRS/inversion) —
+        the golden reference for parity tests.
+
+    Args:
+      counts: ``[..., U]`` observed multiplicities (pads are 0).
+      weights: ``[..., U, W]`` contraction weights.
+      n_obs: scalar total trials N.
+      num_boot: replicates B.
+
+    Returns:
+      sums ``[..., W, B]`` float32.
+    """
+    counts = jnp.asarray(counts, jnp.float32)
+    weights = jnp.asarray(weights, jnp.float32)
+    batch = counts.shape[:-1]
+    u_dim = counts.shape[-1]
+    w_dim = weights.shape[-1]
+    n_obs = jnp.asarray(n_obs, jnp.float32)
+
+    # conditional split ratios: c_u / sum_{v>=u} c_v
+    ctail = jnp.cumsum(counts[..., ::-1], axis=-1)[..., ::-1]
+    ratio = jnp.where(ctail > 0, counts / jnp.maximum(ctail, 1.0), 0.0)
+    ratio = jnp.clip(ratio, 0.0, 1.0)
+    # exact-conditioning marker: this bin absorbs the whole tail
+    ratio = jnp.where((ctail > 0) & (counts >= ctail), 1.0, ratio)
+
+    use_cascade = sampler == "cascade"
+    if use_cascade:
+        cdf = poisson_cdf_table(counts)  # [..., U, K]
+        cdf_u_first = jnp.moveaxis(cdf, -2, 0)  # [U, ..., K]
+    else:
+        if sampler != "multinomial":
+            raise ValueError(
+                f"fused sampler must be 'cascade' or 'multinomial', got {sampler!r}"
+            )
+        cdf_u_first = jnp.zeros((u_dim,) + batch + (1,), jnp.float32)
+
+    xs = (
+        jnp.moveaxis(ratio, -1, 0),  # [U, ...]
+        jnp.moveaxis(counts, -1, 0),  # [U, ...] lam0
+        jnp.moveaxis(ctail, -1, 0),  # [U, ...] E[remaining]
+        cdf_u_first,
+        jnp.moveaxis(weights, -2, 0),  # [U, ..., W]
+        jnp.arange(u_dim),
+    )
+
+    remaining0 = jnp.broadcast_to(n_obs, batch + (num_boot,)).astype(jnp.float32)
+    sums0 = jnp.zeros(batch + (w_dim, num_boot), jnp.float32)
+
+    def step(carry, x):
+        remaining, sums = carry
+        ratio_u, lam0_u, ctail_u, cdf_u, w_u, u_idx = x
+        k_u = jax.random.fold_in(key, u_idx)
+        if use_cascade:
+            n_u = _approx_binomial_step(k_u, remaining, ctail_u, ratio_u,
+                                        lam0_u, cdf_u)
+        else:
+            p = jnp.broadcast_to(ratio_u[..., None], remaining.shape)
+            n_u = jnp.where(
+                (p <= 0.0) | (remaining <= 0),
+                0.0,
+                jnp.where(
+                    p >= 1.0 - 1e-6,
+                    remaining,
+                    jax.random.binomial(k_u, remaining, jnp.clip(p, 1e-7, 1.0 - 1e-7)),
+                ),
+            )
+        sums = sums + w_u[..., :, None] * n_u[..., None, :]
+        return (remaining - n_u, sums), None
+
+    (_, sums), _ = jax.lax.scan(step, (remaining0, sums0), xs)
+    return sums
+
+
 def fold_key(key, *indices):
     """Derive a deterministic subkey from integer coordinates.
 
@@ -81,4 +250,10 @@ def fold_key(key, *indices):
     return key
 
 
-__all__ = ["bootstrap_counts", "fold_key", "SAMPLERS"]
+__all__ = [
+    "bootstrap_counts",
+    "fused_bootstrap_sums",
+    "poisson_cdf_table",
+    "fold_key",
+    "SAMPLERS",
+]

@@ -1,0 +1,169 @@
+"""Statistical validation tests — automated ports of the reference's
+validation notebooks (SURVEY.md §4):
+
+- estimator accuracy vs ground truth across capture efficiencies
+  (``analysis/simulation/estimator_validation.ipynb``)
+- bootstrap fidelity vs a true cell-resampling bootstrap
+  (``analysis/simulation/bootstrap_validation.ipynb``)
+- null p-value calibration / lambda_GC
+  (``analysis/simulation/calibration.ipynb``)
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sparse
+
+import jax
+import jax.numpy as jnp
+
+from memento_tpu.ops.bootstrap import bootstrap_1d
+from memento_tpu.ops.compress import compress_group
+from memento_tpu.ops.estimators import get_noise_model, mean_var_sparse
+from memento_tpu.ops.size_factor import bin_size_factor
+from memento_tpu.utils.stats import concordance, lambda_gc
+
+
+def simulate_truth(rng, n_cells=3000, n_genes=150):
+    """Gamma-Poisson transcriptomes with known relative means/variances."""
+    base_mean = np.exp(rng.uniform(np.log(1.0), np.log(50.0), n_genes))
+    theta = 3.0
+    lam = rng.gamma(theta, base_mean / theta, size=(n_cells, n_genes))
+    z = rng.poisson(lam)  # pre-capture counts
+    rel = base_mean / base_mean.sum()
+    true_var_rel = (base_mean + base_mean**2 / theta) / base_mean.sum() ** 2
+    return z, rel, true_var_rel
+
+
+@pytest.mark.parametrize("q", [0.05, 0.15, 0.4])
+def test_estimator_accuracy_across_q(rng, q):
+    """Hypergeometric estimator recovers relative means/variances from
+    captured counts, across capture efficiencies."""
+    z, rel_mean, rel_var = simulate_truth(rng)
+    x = rng.binomial(z, q)  # binomial thinning ~ capture
+    X = sparse.csr_matrix(x.astype(np.float64))
+    sf = np.asarray(X.sum(axis=1)).ravel()
+    sf = sf / sf.mean()
+    m, v = mean_var_sparse(X, sf, q, "hyper_relative")
+
+    # concordance in log space for the means
+    cc_mean = concordance(np.log(m), np.log(rel_mean * z.sum(1).mean() * q))
+    assert cc_mean > 0.95, f"mean concordance {cc_mean} too low at q={q}"
+    # variances are noisier; require strong rank agreement
+    from scipy.stats import spearmanr
+
+    valid = (v > 0) & np.isfinite(v)
+    rho = spearmanr(v[valid], rel_var[valid]).statistic
+    assert rho > 0.8, f"variance rank corr {rho} too low at q={q}"
+
+
+def test_poisson_vs_hyper_estimators(rng):
+    """Means agree; the hypergeometric variance estimate exceeds Poisson's
+    (its correction subtracts (1-q) * sum(x/sf^2) instead of the full
+    sum, ref estimator.py:123 vs :174)."""
+    z, _, _ = simulate_truth(rng, n_cells=2000)
+    q = 0.4
+    x = rng.binomial(z, q)
+    X = sparse.csr_matrix(x.astype(np.float64))
+    sf = np.asarray(X.sum(axis=1)).ravel()
+    sf = sf / sf.mean()
+    m_h, v_h = mean_var_sparse(X, sf, q, "hyper_relative")
+    m_p, v_p = mean_var_sparse(X, sf, q, "poi_relative")
+    np.testing.assert_allclose(m_h, m_p, rtol=1e-9)
+    assert np.nanmean(v_h) > np.nanmean(v_p)
+
+
+def test_bootstrap_fidelity_vs_true_bootstrap(rng):
+    """The unique-value compressed bootstrap must reproduce the replicate
+    distribution of a brute-force cell-resampling bootstrap (the reference
+    validates via EMD sweeping num_bins, bootstrap_validation.ipynb)."""
+    n, B = 2000, 2000
+    q = 0.1
+    x = rng.poisson(rng.gamma(2.0, 1.0, size=n))
+    sf = rng.random(n) * 2 + 0.3
+    sf = sf / sf.mean()
+    approx_sf = bin_size_factor(sf, num_bins=30)
+
+    # brute force: resample cells, recompute the estimator each time
+    means = np.empty(B)
+    variances = np.empty(B)
+    for b in range(B):
+        idx = rng.integers(0, n, n)
+        xb, sb = x[idx], approx_sf[idx]
+        m1 = (xb / sb).mean()
+        m2 = (xb**2 / sb**2).mean() - (1 - q) * (xb / sb**2).mean()
+        means[b] = m1
+        variances[b] = m2 - m1**2
+
+    # compressed bootstrap on device
+    X = sparse.csr_matrix(x.reshape(-1, 1).astype(np.float64))
+    comp = compress_group(X, approx_sf, backend="numpy")
+    model = get_noise_model("hyper_relative")
+    bm, bv = bootstrap_1d(
+        jax.random.key(0),
+        jnp.asarray(comp.values),
+        jnp.asarray(comp.counts),
+        jnp.asarray(comp.inv_sf),
+        jnp.asarray(comp.inv_sf_sq),
+        comp.n_obs,
+        q,
+        model,
+        B,
+    )
+    bm = np.asarray(bm)[0]
+    bv = np.asarray(bv)[0]
+
+    # same center and spread (bootstrap SE) within a few percent
+    assert abs(bm.mean() - means.mean()) / means.mean() < 0.02
+    assert abs(bm.std() - means.std()) / means.std() < 0.1
+    assert abs(bv.mean() - variances.mean()) / abs(variances.mean()) < 0.05
+    assert abs(bv.std() - variances.std()) / variances.std() < 0.15
+
+    from scipy.stats import wasserstein_distance
+
+    emd = wasserstein_distance(bm, means) / means.std()
+    assert emd < 0.15, f"normalized EMD {emd} too high"
+
+
+def test_null_calibration_lambda_gc(rng):
+    """Random group labels on null data -> uniform p-values, lambda_GC ~ 1
+    (the reference's calibration.ipynb criterion)."""
+    import pandas as pd
+
+    import memento_tpu as mt
+    from memento_tpu.models.simulate import simulate_two_groups
+
+    X, cond, rep, qs = simulate_two_groups(
+        n_cells_per_group=500, n_genes=80, q=0.1, de_genes=None,
+        n_replicates=2, rng=rng,
+    )
+    # scramble condition labels -> everything is null
+    shuffled = rng.permutation(cond)
+    obs = pd.DataFrame(
+        {
+            "condition": shuffled.astype(str),
+            "replicate": rep.astype(str),
+            "capture_q": qs,
+        }
+    )
+    adata = mt.AnnData(sparse.csr_matrix(X.astype(np.float64)), obs=obs)
+    mt.setup_memento(adata, q_column="capture_q", filter_mean_thresh=0.01,
+                     trim_percent=0.3)
+    mt.create_groups(adata, label_columns=["condition", "replicate"])
+    mt.compute_1d_moments(adata, min_perc_group=0.5)
+    gdf = mt.get_groups(adata)
+    covariate = pd.DataFrame(np.ones((len(gdf), 1)), index=gdf.index)
+    treatment = pd.DataFrame(
+        {"tx": gdf["condition"].astype(int).values}, index=gdf.index
+    )
+    mt.ht_1d_moments(adata, covariate=covariate, treatment=treatment,
+                     num_boot=500, boot_chunk=500, tile_size=80,
+                     resampling="bootstrap")
+    res = mt.get_1d_ht_result(adata)
+    pv = res.de_pval.values
+    pv = pv[np.isfinite(pv)]
+    assert len(pv) > 40
+    lam = lambda_gc(pv)
+    assert 0.5 < lam < 2.0, f"lambda_GC {lam} out of calibration range"
+    # gross uniformity: no more than 20% below 0.05
+    assert (pv < 0.05).mean() < 0.2
+    assert pv.mean() > 0.3
