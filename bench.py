@@ -88,15 +88,13 @@ def main():
     treatment = np.array([[0.0], [1.0]])
 
     def run(n_genes_sub, seed):
-        """Timed region: compression + device HT, like the reference's
-        per-gene walltime which includes its per-worker _unique_expr."""
-        comps = [
-            compress_group(g[:, :n_genes_sub], approx_sf[offs[r]:offs[r + 1]])
-            for r, g in enumerate(groups)
-        ]
+        """Timed region: per-tile host compression pipelined with device HT
+        (the reference's per-gene walltime likewise includes its per-worker
+        _unique_expr)."""
         return run_ht_1d(
             key=jax.random.key(seed),
-            compressed=comps,
+            groups=[g[:, :n_genes_sub] for g in groups],
+            approx_sf=[approx_sf[offs[r]:offs[r + 1]] for r in range(2)],
             true_mean=true_mean[:, :n_genes_sub],
             true_res_var=true_res_var[:, :n_genes_sub],
             mv_coeffs=np.tile(mv, (2, 1)),

@@ -473,11 +473,6 @@ def ht_1d_moments(
 
     true_mean, true_res_var, mv_coeffs, q, _ = _stack_group_arrays(uns, groups)
 
-    comps = [
-        compress_group(uns["group_cells"][grp], uns["approx_size_factor"][grp])
-        for grp in groups
-    ]
-
     tx_tensor, nt_per_gene, tx_cols = _per_gene_treatment(
         treatment, treatment_for_gene, gene_names, len(groups)
     )
@@ -487,7 +482,9 @@ def ht_1d_moments(
 
     res = run_ht_1d(
         key=jax.random.key(seed),
-        compressed=comps,
+        # raw-group mode: per-tile compression pipelines with device work
+        groups=[uns["group_cells"][grp] for grp in groups],
+        approx_sf=[uns["approx_size_factor"][grp] for grp in groups],
         true_mean=true_mean,
         true_res_var=true_res_var,
         mv_coeffs=mv_coeffs,

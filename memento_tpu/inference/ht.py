@@ -28,7 +28,7 @@ from ..ops.bootstrap import bootstrap_1d, bootstrap_2d
 from ..ops.estimators import NoiseModel, corr_from_cov
 from ..ops.mv_regression import residual_variance
 from ..ops.sampling import fold_key
-from .asl import asl_counting, refine_flagged
+from .asl import asl_counting
 from .regression import meta_regress
 
 
@@ -368,65 +368,143 @@ def _pad_axis(arr, size, axis, fill=0.0):
     return np.pad(arr, widths, constant_values=fill)
 
 
-def default_tile_size(r: int, u: int, boot_chunk: int,
-                      budget_elems: int = 1 << 27) -> int:
-    """Pick a gene-tile size that keeps the materialized multinomial draws
-    (``R x T x U x boot_chunk`` floats) within a memory budget."""
-    t = budget_elems // max(1, r * u * boot_chunk)
-    t = max(8, min(512, t))
-    return (t // 8) * 8
+def _refine_rows(rows: np.ndarray, gi, gk, pvals: np.ndarray,
+                 resampling: str) -> np.ndarray:
+    """Host GEV refinement for explicitly gathered coefficient rows.
+
+    Args:
+      rows: ``[n_flagged, B+1]`` coefficient rows (column 0 observed).
+      gi, gk: row/col indices of each flagged test in ``pvals``.
+    """
+    from .asl import gev_refine
+
+    out = pvals.copy()
+    for r_idx in range(rows.shape[0]):
+        row = rows[r_idx]
+        stat = row[0]
+        null = row[1:] - (stat if resampling == "bootstrap" else 0.0)
+        out[gi[r_idx], gk[r_idx]] = gev_refine(
+            stat, null, out[gi[r_idx], gk[r_idx]]
+        )
+    return out
+
+
+def default_tile_size(r: int, num_boot: int,
+                      budget_elems: int = 1 << 28) -> int:
+    """Pick a gene-tile size for the fused bootstrap path.
+
+    The fused scan never materializes the ``[T, U, B]`` draws; peak memory is
+    ~a dozen ``[R, T, B]`` float buffers (scan carries, boot matrices,
+    coefficient matrices), so the tile can be large — one tile per run is
+    ideal on high-latency links.
+    """
+    t = budget_elems // max(1, r * num_boot * 12)
+    t = max(64, min(8192, t))
+    return (t // 64) * 64
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def run_ht_1d(
     key,
-    compressed: Sequence,  # list[CompressedGroup], aligned gene axis
-    true_mean: np.ndarray,  # [R, G]
-    true_res_var: np.ndarray,  # [R, G]
-    mv_coeffs: np.ndarray,  # [R, 3]
-    q: np.ndarray,  # [R]
-    covariate: np.ndarray,  # [R, K]
-    treatment: np.ndarray,  # [R, Kt] or [G, R, Kt] (per-gene treatments)
-    num_boot: int,
-    model: NoiseModel,
+    compressed: Optional[Sequence] = None,  # list[CompressedGroup]
+    true_mean: np.ndarray = None,  # [R, G]
+    true_res_var: np.ndarray = None,  # [R, G]
+    mv_coeffs: np.ndarray = None,  # [R, 3]
+    q: np.ndarray = None,  # [R]
+    covariate: np.ndarray = None,  # [R, K]
+    treatment: np.ndarray = None,  # [R, Kt] or [G, R, Kt]
+    num_boot: int = 1000,
+    model: NoiseModel = None,
     sampler: str = "cascade",
     resampling: str = "bootstrap",
     approx: bool = False,
     resample_rep: bool = False,
     tile_size: Optional[int] = None,
-    boot_chunk: int = 1024,
+    boot_chunk: int = 1 << 30,
     verbose: bool = False,
+    groups: Optional[Sequence] = None,  # list of [Nc_r, G] sparse CSC
+    approx_sf: Optional[Sequence] = None,  # list of [Nc_r] quantized factors
 ):
     """Run the 1D test over all genes, tiling the gene axis.
 
+    Two input modes:
+      - ``compressed=[CompressedGroup, ...]``: pre-compressed tiles.
+      - ``groups=[csc, ...], approx_sf=[...]``: raw per-group matrices;
+        compression happens per tile on the host and PIPELINES with device
+        execution (tile launches are async; host compresses tile t+1 while
+        the device runs tile t) — essential when the host has few cores.
+
     Returns dict of ``[G, Kt]`` arrays: mean_coef/se/pval, var_coef/se/pval.
     """
-    r = len(compressed)
-    g = true_mean.shape[1]
-    u = max(c.padded_u for c in compressed)
+    from ..ops.compress import compress_group
 
-    values = np.stack([_pad_axis(c.values, u, 1) for c in compressed])
-    counts = np.stack([_pad_axis(c.counts, u, 1) for c in compressed])
-    inv_sf = np.stack([_pad_axis(c.inv_sf, u, 1, fill=1.0) for c in compressed])
-    inv_sf_sq = np.stack([_pad_axis(c.inv_sf_sq, u, 1, fill=1.0) for c in compressed])
-    n_unique = np.stack([c.n_unique for c in compressed])
-    n_obs = np.array([c.n_obs for c in compressed], dtype=np.float32)
+    if compressed is not None:
+        r = len(compressed)
+        u_fixed = max(c.padded_u for c in compressed)
+    else:
+        r = len(groups)
+        u_fixed = None
+
+    g = true_mean.shape[1]
+    n_obs = np.array(
+        [c.n_obs for c in compressed] if compressed is not None
+        else [grp.shape[0] for grp in groups],
+        dtype=np.float32,
+    )
 
     per_gene_treatment = treatment.ndim == 3
     kt = treatment.shape[-1]
     one_sample = bool(np.all(treatment == 1))
 
     if tile_size is None:
-        tile_size = default_tile_size(r, u, min(boot_chunk, num_boot))
+        tile_size = min(default_tile_size(r, num_boot), _round_up(g, 64))
 
     out = {
         k: np.full((g, kt), np.nan)
         for k in ["mean_coef", "mean_se", "mean_pval", "var_coef", "var_se", "var_pval"]
     }
 
+    def tile_inputs(start, stop, t):
+        sl = slice(start, stop)
+        if compressed is not None:
+            u = u_fixed
+            values = np.stack([_pad_axis(c.values[sl], u, 1) for c in compressed])
+            counts = np.stack([_pad_axis(c.counts[sl], u, 1) for c in compressed])
+            isf = np.stack([_pad_axis(c.inv_sf[sl], u, 1, 1.0) for c in compressed])
+            isf2 = np.stack(
+                [_pad_axis(c.inv_sf_sq[sl], u, 1, 1.0) for c in compressed]
+            )
+            nuq = np.stack([c.n_unique[sl] for c in compressed])
+        else:
+            comps = [
+                compress_group(grp[:, start:stop], asf)
+                for grp, asf in zip(groups, approx_sf)
+            ]
+            # bucket U to limit distinct compiled shapes
+            u = _round_up(max(c.padded_u for c in comps), 64)
+            values = np.stack([_pad_axis(c.values, u, 1) for c in comps])
+            counts = np.stack([_pad_axis(c.counts, u, 1) for c in comps])
+            isf = np.stack([_pad_axis(c.inv_sf, u, 1, 1.0) for c in comps])
+            isf2 = np.stack([_pad_axis(c.inv_sf_sq, u, 1, 1.0) for c in comps])
+            nuq = np.stack([c.n_unique for c in comps])
+        return (
+            _pad_axis(values, t, 1),
+            _pad_axis(counts, t, 1),
+            _pad_axis(isf, t, 1, 1.0),
+            _pad_axis(isf2, t, 1, 1.0),
+            _pad_axis(nuq, t, 1),
+        )
+
+    # launch every tile asynchronously, then harvest
+    pending = []
     for start in range(0, g, tile_size):
         stop = min(start + tile_size, g)
         t = tile_size
         sl = slice(start, stop)
+        values, counts, isf, isf2, nuq = tile_inputs(start, stop, t)
         if per_gene_treatment:
             treat_tile = _pad_axis(treatment[sl], t, 0)
         else:
@@ -434,11 +512,11 @@ def run_ht_1d(
             treat_tile = _pad_axis(treat_tile, t, 0)
         res = ht_1d_tile(
             fold_key(key, start),
-            jnp.asarray(_pad_axis(values[:, sl], t, 1)),
-            jnp.asarray(_pad_axis(counts[:, sl], t, 1)),
-            jnp.asarray(_pad_axis(inv_sf[:, sl], t, 1, fill=1.0)),
-            jnp.asarray(_pad_axis(inv_sf_sq[:, sl], t, 1, fill=1.0)),
-            jnp.asarray(_pad_axis(n_unique[:, sl], t, 1)),
+            jnp.asarray(values),
+            jnp.asarray(counts),
+            jnp.asarray(isf),
+            jnp.asarray(isf2),
+            jnp.asarray(nuq),
             jnp.asarray(_pad_axis(true_mean[:, sl], t, 1, fill=np.nan)),
             jnp.asarray(_pad_axis(true_res_var[:, sl], t, 1, fill=np.nan)),
             jnp.asarray(mv_coeffs, dtype=jnp.float32),
@@ -455,7 +533,13 @@ def run_ht_1d(
             resample_rep=resample_rep,
             boot_chunk=min(boot_chunk, num_boot),
         )
+        pending.append((start, stop, res))
+        if verbose:
+            print(f"ht_1d: launched genes {stop}/{g}")
+
+    for start, stop, res in pending:
         n = stop - start
+        sl = slice(start, stop)
         for stat in ("mean", "var"):
             coef = np.asarray(res[f"{stat}_coef"])[:n]
             se = np.asarray(res[f"{stat}_se"])[:n]
@@ -463,13 +547,15 @@ def run_ht_1d(
             if not approx:
                 needs = np.asarray(res[f"{stat}_needs_gev"])[:n]
                 if needs.any():
-                    full = np.asarray(res[f"{stat}_coef_full"])[:n]
-                    pval = refine_flagged(full, pval, needs, resampling)
+                    # gather only the flagged rows on device — transferring
+                    # the full [T, Kt, B+1] tensor would dominate wall time
+                    # on links like the TPU tunnel
+                    gi, gk = np.nonzero(needs)
+                    rows = np.asarray(res[f"{stat}_coef_full"][gi, gk])
+                    pval = _refine_rows(rows, gi, gk, pval, resampling)
             out[f"{stat}_coef"][sl] = coef
             out[f"{stat}_se"][sl] = se
             out[f"{stat}_pval"][sl] = pval
-        if verbose:
-            print(f"ht_1d: genes {stop}/{g}")
     return out
 
 
@@ -508,7 +594,7 @@ def run_ht_2d(
     kt = treatment.shape[-1]
     one_sample = bool(np.all(treatment == 1))
     if tile_size is None:
-        tile_size = default_tile_size(r, u, min(boot_chunk, num_boot))
+        tile_size = min(default_tile_size(r, num_boot), _round_up(p, 64))
 
     out = {k: np.full((p, kt), np.nan) for k in ["corr_coef", "corr_se", "corr_pval"]}
 
@@ -549,8 +635,9 @@ def run_ht_2d(
         if not approx:
             needs = np.asarray(res["corr_needs_gev"])[:n]
             if needs.any():
-                full = np.asarray(res["corr_coef_full"])[:n]
-                pval = refine_flagged(full, pval, needs, resampling)
+                gi, gk = np.nonzero(needs)
+                rows = np.asarray(res["corr_coef_full"][gi, gk])
+                pval = _refine_rows(rows, gi, gk, pval, resampling)
         out["corr_coef"][sl] = coef
         out["corr_se"][sl] = se
         out["corr_pval"][sl] = pval

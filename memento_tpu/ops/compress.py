@@ -194,16 +194,136 @@ class CompressedPairGroup:
 
 
 def compress_pairs(X_csc, approx_sf, idx1, idx2, pad_multiple: int = 8,
-                   min_u: int = 8) -> CompressedPairGroup:
+                   min_u: int = 8, backend: str = "auto") -> CompressedPairGroup:
     """Joint (x1, x2, sf-bin) compression for gene pairs (2D bootstrap path).
 
     Mirrors ``_unique_expr`` applied to two-column slices
-    (ref ``bootstrap.py:119-157``), with exact integer codes.
+    (ref ``bootstrap.py:119-157``), with exact integer codes.  The default
+    backend packs ALL pairs with one lexsort (O(total_nnz log) overall);
+    ``backend='loop'`` is the simple per-pair oracle used by its tests.
 
     Args:
       X_csc: ``[N, G]`` CSC matrix of the group.
       idx1, idx2: ``[P]`` integer gene indices of each pair.
     """
+    if backend == "auto":
+        try:
+            return _compress_pairs_vectorized(X_csc, approx_sf, idx1, idx2,
+                                              pad_multiple, min_u)
+        except OverflowError:
+            pass  # fall through to the loop
+    return _compress_pairs_loop(X_csc, approx_sf, idx1, idx2, pad_multiple,
+                                min_u)
+
+
+def _ranges(starts, lens):
+    """Concatenated [s, s+l) ranges (vectorized)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    offs = np.repeat(np.cumsum(lens) - lens, lens)
+    return np.arange(total, dtype=np.int64) - offs + np.repeat(starts, lens)
+
+
+def _compress_pairs_vectorized(X_csc, approx_sf, idx1, idx2, pad_multiple,
+                               min_u) -> CompressedPairGroup:
+    """One-lexsort joint compression of every pair at once."""
+    X_csc = X_csc.tocsc() if sparse.issparse(X_csc) else sparse.csc_matrix(X_csc)
+    n_cells = X_csc.shape[0]
+    bin_values, bin_ids = factorize_approx_sf(approx_sf)
+    nbins = len(bin_values)
+    bin_total = np.bincount(bin_ids, minlength=nbins)
+
+    idx1 = np.asarray(idx1, dtype=np.int64)
+    idx2 = np.asarray(idx2, dtype=np.int64)
+    n_pairs = len(idx1)
+    indptr = X_csc.indptr.astype(np.int64)
+    indices = X_csc.indices.astype(np.int64)
+    data = np.round(X_csc.data).astype(np.int64)
+
+    lens1 = indptr[idx1 + 1] - indptr[idx1]
+    lens2 = indptr[idx2 + 1] - indptr[idx2]
+    d1 = _ranges(indptr[idx1], lens1)  # positions into indices/data
+    d2 = _ranges(indptr[idx2], lens2)
+
+    p_all = np.concatenate([np.repeat(np.arange(n_pairs), lens1),
+                            np.repeat(np.arange(n_pairs), lens2)])
+    r_all = np.concatenate([indices[d1], indices[d2]])
+    v1_all = np.concatenate([data[d1], np.zeros(len(d2), np.int64)])
+    v2_all = np.concatenate([np.zeros(len(d1), np.int64), data[d2]])
+
+    order = np.lexsort((r_all, p_all))
+    p_s, r_s = p_all[order], r_all[order]
+    v1_s, v2_s = v1_all[order], v2_all[order]
+
+    cellkey = p_s * n_cells + r_s
+    newcell = np.ones(len(cellkey), dtype=bool)
+    newcell[1:] = cellkey[1:] != cellkey[:-1]
+    starts = np.nonzero(newcell)[0]
+    x1 = np.add.reduceat(v1_s, starts) if len(starts) else np.zeros(0, np.int64)
+    x2 = np.add.reduceat(v2_s, starts) if len(starts) else np.zeros(0, np.int64)
+    pp = p_s[starts]
+    bb = bin_ids[r_s[starts]].astype(np.int64)
+
+    v1max = int(x1.max()) + 1 if len(x1) else 1
+    v2max = int(x2.max()) + 1 if len(x2) else 1
+    stride = v1max * v2max * nbins
+    if n_pairs * stride >= np.iinfo(np.int64).max:
+        raise OverflowError("pair code space overflow")
+
+    code = pp * stride + (x1 * v2max + x2) * nbins + bb
+    uniq, ucnt = np.unique(code, return_counts=True)
+    up = uniq // stride
+    rem = uniq % stride
+    uv1 = rem // (v2max * nbins)
+    uv2 = (rem // nbins) % v2max
+    ub = rem % nbins
+
+    # zero-zero combos per (pair, bin): total bin occupancy minus union rows
+    union_pb = np.bincount(pp * nbins + bb, minlength=n_pairs * nbins).reshape(
+        n_pairs, nbins
+    )
+    zcount = bin_total[None, :] - union_pb
+
+    n_nz = np.bincount(up, minlength=n_pairs)
+    n_z = (zcount > 0).sum(axis=1)
+    n_unique = (n_nz + n_z).astype(np.int32)
+    u_max = max(min_u, _round_up(int(n_unique.max()) if n_pairs else min_u,
+                                 pad_multiple))
+
+    values_1 = np.zeros((n_pairs, u_max), dtype=np.float32)
+    values_2 = np.zeros((n_pairs, u_max), dtype=np.float32)
+    counts = np.zeros((n_pairs, u_max), dtype=np.float32)
+    sf = np.ones((n_pairs, u_max), dtype=np.float64)
+
+    zg, zb = np.nonzero(zcount > 0)
+    zstart = np.concatenate([[0], np.cumsum(n_z)])
+    zpos = np.arange(len(zg)) - zstart[zg]
+    counts[zg, zpos] = zcount[zg, zb]
+    sf[zg, zpos] = bin_values[zb]
+
+    nstart = np.concatenate([[0], np.cumsum(n_nz)])
+    npos = np.arange(len(up)) - nstart[up] + n_z[up]
+    values_1[up, npos] = uv1.astype(np.float32)
+    values_2[up, npos] = uv2.astype(np.float32)
+    counts[up, npos] = ucnt.astype(np.float32)
+    sf[up, npos] = bin_values[ub]
+
+    inv_sf = (1.0 / sf).astype(np.float32)
+    return CompressedPairGroup(
+        values_1=values_1,
+        values_2=values_2,
+        counts=counts,
+        inv_sf=inv_sf,
+        inv_sf_sq=(inv_sf * inv_sf).astype(np.float32),
+        n_obs=n_cells,
+        n_unique=n_unique,
+    )
+
+
+def _compress_pairs_loop(X_csc, approx_sf, idx1, idx2, pad_multiple,
+                         min_u) -> CompressedPairGroup:
+    """Per-pair reference implementation (oracle for the vectorized path)."""
     X_csc = X_csc.tocsc() if sparse.issparse(X_csc) else sparse.csc_matrix(X_csc)
     n_cells = X_csc.shape[0]
     bin_values, bin_ids = factorize_approx_sf(approx_sf)

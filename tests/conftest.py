@@ -12,6 +12,18 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# The axon sitecustomize calls jax.config.update("jax_platforms", "axon,cpu")
+# at interpreter startup, and the CONFIG value beats the env var — without
+# the explicit update below, "CPU" tests silently run on the tunnel TPU
+# (slow, flaky RPC hangs).
+import jax
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+assert jax.default_backend() == "cpu", jax.devices()
+
 import numpy as np
 import pytest
 
