@@ -50,6 +50,15 @@ def main():
     t0 = time.time()
     import jax
 
+    # persistent compile cache (helps helper ops; the main executables are
+    # cached server-side under the remote-compile backend)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     import memento_tpu as mt
     from memento_tpu.inference.ht import run_ht_1d
     from memento_tpu.ops.compress import compress_group
@@ -103,7 +112,7 @@ def main():
             treatment=treatment,
             num_boot=NUM_BOOT,
             model=model,
-            sampler="cascade",
+            sampler="auto",
             resampling="permutation",
             approx=True,
             boot_chunk=NUM_BOOT,

@@ -451,7 +451,7 @@ def ht_1d_moments(
     resampling="bootstrap",
     approx=False,
     resample_rep=False,
-    sampler="cascade",
+    sampler="auto",
     tile_size=None,
     boot_chunk=1024,
     seed=0,
@@ -546,7 +546,7 @@ def ht_2d_moments(
     resampling="bootstrap",
     approx=False,
     resample_rep=False,
-    sampler="cascade",
+    sampler="auto",
     tile_size=None,
     boot_chunk=1024,
     seed=0,
@@ -589,15 +589,6 @@ def ht_2d_moments(
         p_idx2 = np.array([p[1] for p in uniq_pairs])
         conv_of_pair = [p[2] for p in uniq_pairs]
 
-        comps = [
-            compress_pairs(
-                uns["group_cells"][grp],
-                uns["approx_size_factor"][grp],
-                p_idx1,
-                p_idx2,
-            )
-            for grp in groups
-        ]
         true_corr = np.stack(
             [conv_true_corr[grp][conv_of_pair] for grp in groups]
         )
@@ -623,7 +614,10 @@ def ht_2d_moments(
 
         res = run_ht_2d(
             key=jax.random.key(seed),
-            compressed_pairs=comps,
+            groups=[uns["group_cells"][grp] for grp in groups],
+            approx_sf=[uns["approx_size_factor"][grp] for grp in groups],
+            idx1=p_idx1,
+            idx2=p_idx2,
             true_corr=true_corr,
             q=q,
             covariate=np.asarray(covariate.values, dtype=np.float64),

@@ -116,35 +116,68 @@ def ht_1d_tile(
     p-values, GEV-refinement flags, and the full coefficient matrices
     (``[T, Kt, B+1]``) for host-side tail refinement.
     """
-    r, t, _ = values.shape
+    r, t, u_dim = values.shape
     b = num_boot
 
-    # ---- bootstrap moments, chunked over the replicate axis ----------------
-    n_chunks = max(1, -(-b // boot_chunk))
-    bc = -(-b // n_chunks)  # actual chunk size; b padded up to n_chunks*bc
+    if sampler == "cascade_pallas":
+        # fold (group, gene) into one row axis; a single Pallas program
+        # covers the whole tile with per-row trial counts
+        from ..ops.pallas_kernels import fused_bootstrap_sums_pallas
 
-    def one_chunk(ci):
-        def per_group(r_idx):
-            k = fold_key(key, 0, r_idx, ci)
-            return bootstrap_1d(
-                k,
-                values[r_idx],
-                counts[r_idx],
-                inv_sf[r_idx],
-                inv_sf_sq[r_idx],
-                n_obs[r_idx],
-                q[r_idx],
-                model,
-                bc,
-                sampler,
-            )
+        c = model.var_correction(q)[:, None, None]  # [R,1,1]
+        a = values * inv_sf
+        if model.mean_only:
+            w = a[..., None]
+        else:
+            d = (values * values - c * values) * inv_sf_sq
+            w = jnp.stack([a, d], axis=-1)
+        w_dim = w.shape[-1]
+        sums = fused_bootstrap_sums_pallas(
+            key,
+            counts.reshape(r * t, u_dim),
+            w.reshape(r * t, u_dim, w_dim),
+            jnp.repeat(n_obs.astype(jnp.float32), t),
+            b,
+        ).reshape(r, t, w_dim, b)
+        n_div = n_obs[:, None, None].astype(jnp.float32)
+        m1 = sums[:, :, 0, :] / n_div
+        if model.mean_only:
+            boot_mean_raw = m1 + 1.0
+            boot_var_raw = jnp.full_like(m1, 10.0)
+        else:
+            boot_mean_raw = m1
+            boot_var_raw = sums[:, :, 1, :] / n_div - m1 * m1
+    else:
+        # chunked over the replicate axis (legacy samplers may materialize)
+        n_chunks = max(1, -(-b // boot_chunk))
+        bc = -(-b // n_chunks)  # actual chunk size; b padded to n_chunks*bc
 
-        return jax.vmap(per_group)(jnp.arange(r))  # (mean, var): [R, T, bc]
+        def one_chunk(ci):
+            def per_group(r_idx):
+                k = fold_key(key, 0, r_idx, ci)
+                return bootstrap_1d(
+                    k,
+                    values[r_idx],
+                    counts[r_idx],
+                    inv_sf[r_idx],
+                    inv_sf_sq[r_idx],
+                    n_obs[r_idx],
+                    q[r_idx],
+                    model,
+                    bc,
+                    sampler,
+                )
 
-    mean_c, var_c = jax.lax.map(one_chunk, jnp.arange(n_chunks))
-    # [C, R, T, bc] -> [R, T, C*bc] -> trim to B
-    boot_mean_raw = jnp.moveaxis(mean_c, 0, 2).reshape(r, t, n_chunks * bc)[..., :b]
-    boot_var_raw = jnp.moveaxis(var_c, 0, 2).reshape(r, t, n_chunks * bc)[..., :b]
+            return jax.vmap(per_group)(jnp.arange(r))  # (mean, var): [R, T, bc]
+
+        mean_c, var_c = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+        # [C, R, T, bc] -> [R, T, C*bc] -> trim to B
+        boot_mean_raw = jnp.moveaxis(mean_c, 0, 2).reshape(
+            r, t, n_chunks * bc
+        )[..., :b]
+        boot_var_raw = jnp.moveaxis(var_c, 0, 2).reshape(
+            r, t, n_chunks * bc
+        )[..., :b]
 
     # ---- residual variance per replicate (ref hypothesis_test.py:186) -----
     res_var = residual_variance(
@@ -279,34 +312,62 @@ def ht_2d_tile(
 
     Mirrors ``_ht_2d`` + ``_regress_2d`` (ref ``hypothesis_test.py:303-415``).
     """
-    r, p, _ = values_1.shape
+    r, p, u_dim = values_1.shape
     b = num_boot
 
-    n_chunks = max(1, -(-b // boot_chunk))
-    bc = -(-b // n_chunks)
+    if sampler == "cascade_pallas":
+        from ..ops.pallas_kernels import fused_bootstrap_sums_pallas
 
-    def one_chunk(ci):
-        def per_group(r_idx):
-            k = fold_key(key, 0, r_idx, ci)
-            cov, v1, v2 = bootstrap_2d(
-                k,
-                values_1[r_idx],
-                values_2[r_idx],
-                counts[r_idx],
-                inv_sf[r_idx],
-                inv_sf_sq[r_idx],
-                n_obs[r_idx],
-                q[r_idx],
-                model,
-                bc,
-                sampler,
-            )
-            return corr_from_cov(cov, v1, v2)
+        c = model.var_correction(q)[:, None, None]
+        a1 = values_1 * inv_sf
+        a2 = values_2 * inv_sf
+        dxy = values_1 * values_2 * inv_sf_sq
+        d1 = (values_1 * values_1 - c * values_1) * inv_sf_sq
+        d2 = (values_2 * values_2 - c * values_2) * inv_sf_sq
+        w = jnp.stack([a1, a2, dxy, d1, d2], axis=-1)
+        sums = fused_bootstrap_sums_pallas(
+            key,
+            counts.reshape(r * p, u_dim),
+            w.reshape(r * p, u_dim, 5),
+            jnp.repeat(n_obs.astype(jnp.float32), p),
+            b,
+        ).reshape(r, p, 5, b)
+        n_div = n_obs[:, None, None].astype(jnp.float32)
+        m1 = sums[:, :, 0, :] / n_div
+        m2 = sums[:, :, 1, :] / n_div
+        mx = sums[:, :, 2, :] / n_div
+        cov = mx - m1 * m2
+        var_1 = sums[:, :, 3, :] / n_div - m1 * m1
+        var_2 = sums[:, :, 4, :] / n_div - m2 * m2
+        boot_corr_raw = corr_from_cov(cov, var_1, var_2)
+    else:
+        n_chunks = max(1, -(-b // boot_chunk))
+        bc = -(-b // n_chunks)
 
-        return jax.vmap(per_group)(jnp.arange(r))  # [R, P, bc]
+        def one_chunk(ci):
+            def per_group(r_idx):
+                k = fold_key(key, 0, r_idx, ci)
+                cov, v1, v2 = bootstrap_2d(
+                    k,
+                    values_1[r_idx],
+                    values_2[r_idx],
+                    counts[r_idx],
+                    inv_sf[r_idx],
+                    inv_sf_sq[r_idx],
+                    n_obs[r_idx],
+                    q[r_idx],
+                    model,
+                    bc,
+                    sampler,
+                )
+                return corr_from_cov(cov, v1, v2)
 
-    corr_c = jax.lax.map(one_chunk, jnp.arange(n_chunks))
-    boot_corr_raw = jnp.moveaxis(corr_c, 0, 2).reshape(r, p, n_chunks * bc)[..., :b]
+            return jax.vmap(per_group)(jnp.arange(r))  # [R, P, bc]
+
+        corr_c = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+        boot_corr_raw = jnp.moveaxis(corr_c, 0, 2).reshape(
+            r, p, n_chunks * bc
+        )[..., :b]
 
     # fill NaN replicates (ref hypothesis_test.py:35-40,344-348)
     k_fill = fold_key(key, 1)
@@ -407,6 +468,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _resolve_sampler(sampler: str) -> str:
+    """'auto' -> the Pallas fused kernel on real TPUs, XLA cascade elsewhere
+    (the Pallas PRNG is TPU-only; interpret mode stubs it)."""
+    if sampler != "auto":
+        return sampler
+    import jax as _jax
+
+    return "cascade_pallas" if _jax.default_backend() == "tpu" else "cascade"
+
+
 def run_ht_1d(
     key,
     compressed: Optional[Sequence] = None,  # list[CompressedGroup]
@@ -441,6 +512,7 @@ def run_ht_1d(
     """
     from ..ops.compress import compress_group
 
+    sampler = _resolve_sampler(sampler)
     if compressed is not None:
         r = len(compressed)
         u_fixed = max(c.padded_u for c in compressed)
@@ -561,34 +633,43 @@ def run_ht_1d(
 
 def run_ht_2d(
     key,
-    compressed_pairs: Sequence,  # list[CompressedPairGroup]
-    true_corr: np.ndarray,  # [R, P]
-    q: np.ndarray,
-    covariate: np.ndarray,
-    treatment: np.ndarray,  # [R, Kt] or [P, R, Kt]
-    num_boot: int,
-    model: NoiseModel,
+    compressed_pairs: Optional[Sequence] = None,  # list[CompressedPairGroup]
+    true_corr: np.ndarray = None,  # [R, P]
+    q: np.ndarray = None,
+    covariate: np.ndarray = None,
+    treatment: np.ndarray = None,  # [R, Kt] or [P, R, Kt]
+    num_boot: int = 1000,
+    model: NoiseModel = None,
     sampler: str = "cascade",
     resampling: str = "bootstrap",
     approx: bool = False,
     resample_rep: bool = False,
     tile_size: Optional[int] = None,
-    boot_chunk: int = 1024,
+    boot_chunk: int = 1 << 30,
     verbose: bool = False,
+    groups: Optional[Sequence] = None,  # list of [Nc_r, G] sparse CSC
+    approx_sf: Optional[Sequence] = None,
+    idx1: Optional[np.ndarray] = None,  # [P] gene indices of each pair
+    idx2: Optional[np.ndarray] = None,
 ):
-    """Run the 2D (differential correlation) test over all pairs."""
-    r = len(compressed_pairs)
-    p = true_corr.shape[1]
-    u = max(c.counts.shape[1] for c in compressed_pairs)
+    """Run the 2D (differential correlation) test over all pairs.
 
-    v1 = np.stack([_pad_axis(c.values_1, u, 1) for c in compressed_pairs])
-    v2 = np.stack([_pad_axis(c.values_2, u, 1) for c in compressed_pairs])
-    counts = np.stack([_pad_axis(c.counts, u, 1) for c in compressed_pairs])
-    inv_sf = np.stack([_pad_axis(c.inv_sf, u, 1, fill=1.0) for c in compressed_pairs])
-    inv_sf_sq = np.stack(
-        [_pad_axis(c.inv_sf_sq, u, 1, fill=1.0) for c in compressed_pairs]
-    )
-    n_obs = np.array([c.n_obs for c in compressed_pairs], dtype=np.float32)
+    Like ``run_ht_1d``, supports pre-compressed pair tiles OR raw group
+    matrices + pair index arrays with per-tile compression pipelined
+    against async device launches.
+    """
+    from ..ops.compress import compress_pairs
+
+    sampler = _resolve_sampler(sampler)
+    if compressed_pairs is not None:
+        r = len(compressed_pairs)
+        u_fixed = max(c.counts.shape[1] for c in compressed_pairs)
+        n_obs = np.array([c.n_obs for c in compressed_pairs], dtype=np.float32)
+    else:
+        r = len(groups)
+        u_fixed = None
+        n_obs = np.array([grp.shape[0] for grp in groups], dtype=np.float32)
+    p = true_corr.shape[1]
 
     per_pair_treatment = treatment.ndim == 3
     kt = treatment.shape[-1]
@@ -598,10 +679,43 @@ def run_ht_2d(
 
     out = {k: np.full((p, kt), np.nan) for k in ["corr_coef", "corr_se", "corr_pval"]}
 
+    def tile_inputs(start, stop, t):
+        sl = slice(start, stop)
+        if compressed_pairs is not None:
+            u = u_fixed
+            comps = compressed_pairs
+            v1 = np.stack([_pad_axis(c.values_1[sl], u, 1) for c in comps])
+            v2 = np.stack([_pad_axis(c.values_2[sl], u, 1) for c in comps])
+            cnt = np.stack([_pad_axis(c.counts[sl], u, 1) for c in comps])
+            isf = np.stack([_pad_axis(c.inv_sf[sl], u, 1, 1.0) for c in comps])
+            isf2 = np.stack(
+                [_pad_axis(c.inv_sf_sq[sl], u, 1, 1.0) for c in comps]
+            )
+        else:
+            comps = [
+                compress_pairs(grp, asf, idx1[sl], idx2[sl])
+                for grp, asf in zip(groups, approx_sf)
+            ]
+            u = _round_up(max(c.counts.shape[1] for c in comps), 64)
+            v1 = np.stack([_pad_axis(c.values_1, u, 1) for c in comps])
+            v2 = np.stack([_pad_axis(c.values_2, u, 1) for c in comps])
+            cnt = np.stack([_pad_axis(c.counts, u, 1) for c in comps])
+            isf = np.stack([_pad_axis(c.inv_sf, u, 1, 1.0) for c in comps])
+            isf2 = np.stack([_pad_axis(c.inv_sf_sq, u, 1, 1.0) for c in comps])
+        return (
+            _pad_axis(v1, t, 1),
+            _pad_axis(v2, t, 1),
+            _pad_axis(cnt, t, 1),
+            _pad_axis(isf, t, 1, 1.0),
+            _pad_axis(isf2, t, 1, 1.0),
+        )
+
+    pending = []
     for start in range(0, p, tile_size):
         stop = min(start + tile_size, p)
         t = tile_size
         sl = slice(start, stop)
+        v1, v2, cnt, isf, isf2 = tile_inputs(start, stop, t)
         if per_pair_treatment:
             treat_tile = _pad_axis(treatment[sl], t, 0)
         else:
@@ -609,11 +723,11 @@ def run_ht_2d(
             treat_tile = _pad_axis(treat_tile, t, 0)
         res = ht_2d_tile(
             fold_key(key, start),
-            jnp.asarray(_pad_axis(v1[:, sl], t, 1)),
-            jnp.asarray(_pad_axis(v2[:, sl], t, 1)),
-            jnp.asarray(_pad_axis(counts[:, sl], t, 1)),
-            jnp.asarray(_pad_axis(inv_sf[:, sl], t, 1, fill=1.0)),
-            jnp.asarray(_pad_axis(inv_sf_sq[:, sl], t, 1, fill=1.0)),
+            jnp.asarray(v1),
+            jnp.asarray(v2),
+            jnp.asarray(cnt),
+            jnp.asarray(isf),
+            jnp.asarray(isf2),
             jnp.asarray(_pad_axis(true_corr[:, sl], t, 1, fill=np.nan)),
             jnp.asarray(q, dtype=jnp.float32),
             jnp.asarray(n_obs),
@@ -628,7 +742,13 @@ def run_ht_2d(
             resample_rep=resample_rep,
             boot_chunk=min(boot_chunk, num_boot),
         )
+        pending.append((start, stop, res))
+        if verbose:
+            print(f"ht_2d: launched pairs {stop}/{p}")
+
+    for start, stop, res in pending:
         n = stop - start
+        sl = slice(start, stop)
         coef = np.asarray(res["corr_coef"])[:n]
         se = np.asarray(res["corr_se"])[:n]
         pval = np.asarray(res["corr_pval"])[:n]
@@ -641,8 +761,6 @@ def run_ht_2d(
         out["corr_coef"][sl] = coef
         out["corr_se"][sl] = se
         out["corr_pval"][sl] = pval
-        if verbose:
-            print(f"ht_2d: pairs {stop}/{p}")
     return out
 
 

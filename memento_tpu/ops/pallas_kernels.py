@@ -1,0 +1,193 @@
+"""Pallas TPU kernels: the fused cascade bootstrap (flagship custom kernel).
+
+Implements the same algorithm as ``ops.sampling.fused_bootstrap_sums`` with
+the whole conditional-binomial cascade resident in VMEM: one grid program
+owns an 8-gene sublane block, walks the U bins in a statically unrolled
+on-chip loop, draws the cascade samples from the in-kernel PRNG
+(``pltpu.prng_random_bits``), and accumulates the weighted sums — HBM sees
+only the compressed inputs and the ``[T, W, B]`` output.
+
+Mosaic notes (learned the hard way):
+- dynamic lane-dimension indexing (``ref[:, u]`` with traced ``u``) does not
+  lower — the U loop is a static Python unroll so every column index is a
+  constant strided slice;
+- the truncated-Poisson CDF is rebuilt iteratively in-kernel
+  (``pmf_{k+1} = pmf_k * lam / (k+1)``) instead of passing a table, which
+  removes both a [T, U, K] input and all dynamic table indexing;
+- interpret mode stubs the TPU PRNG (all-zero bits), so statistical tests
+  for this kernel only run on real TPU hardware (see tests/test_pallas.py).
+
+Selected via ``sampler='cascade_pallas'``; numerically it draws from the
+same approximating family as ``'cascade'`` (different random streams).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sampling import CASCADE_TAU
+
+_TWO_PI = 6.283185307179586
+_K_TABLE = 56  # truncation: P[Poisson(tau) > 56] < 1e-8 at tau=24
+
+
+def _uniform_from_bits(bits):
+    """Random bits -> float32 uniform in (0, 1).
+
+    The bits arrive as int32; an arithmetic shift would sign-extend and
+    produce negative "uniforms" (observed as fat-tailed Box-Muller draws) —
+    bitcast to uint32 first for a logical shift.
+    """
+    u32 = pltpu.bitcast(bits, jnp.uint32) >> 8  # top 24 bits, logical shift
+    # Mosaic can't cast uint32->f32; the value now fits in 24 bits, so a
+    # bitcast back to int32 is lossless and positive.
+    u = pltpu.bitcast(u32, jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    return jnp.maximum(u, 1e-7)
+
+
+def _cascade_kernel(seed_ref, n_ref, ratio_ref, lam_ref, ctail_ref, w_ref,
+                    out_ref, *, u_dim, w_dim, b_pad, tau):
+    """One (8-gene, b_pad-replicate) block: full cascade + accumulation."""
+    base_seed = seed_ref[0] + pl.program_id(0) * jnp.int32(1000003)
+
+    # per-gene-row trial counts (rows from different groups may differ)
+    remaining = jnp.broadcast_to(n_ref[:, 0].reshape(8, 1), (8, b_pad))
+    remaining = remaining.astype(jnp.float32)
+    sums = [jnp.zeros((8, b_pad), dtype=jnp.float32) for _ in range(w_dim)]
+
+    for u in range(u_dim):  # static unroll — see module docstring
+        ratio = ratio_ref[:, u].reshape(8, 1)
+        lam = lam_ref[:, u].reshape(8, 1)
+        ctail = ctail_ref[:, u].reshape(8, 1)
+
+        # Reseed per bin and carve one wide draw into the three uniforms:
+        # repeated identical prng_random_bits expressions get CSE'd by the
+        # compiler (observed as perfectly correlated draws across bins).
+        pltpu.prng_seed(base_seed + jnp.int32(u))
+        bits = pltpu.prng_random_bits((8, 3 * b_pad))
+        u1 = _uniform_from_bits(bits[:, :b_pad])
+        u2 = _uniform_from_bits(bits[:, b_pad : 2 * b_pad])
+        u3 = _uniform_from_bits(bits[:, 2 * b_pad :])
+
+        # Gaussian branch (Box-Muller)
+        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+        m = remaining * ratio
+        s = jnp.sqrt(jnp.maximum(m * (1.0 - ratio), 0.0))
+        g = jnp.clip(jnp.round(m + s * z), 0.0, remaining)
+
+        # Poisson-table branch with the CDF built iteratively in-register
+        def table_step(k, carry):
+            t_acc, cdf, pmf = carry
+            t_acc = t_acc + (u3 > cdf).astype(jnp.float32)
+            pmf = pmf * lam / (k + 1.0)
+            return t_acc, cdf + pmf, pmf
+
+        pmf0 = jnp.exp(-lam) * jnp.ones((8, b_pad), jnp.float32)
+        t, _, _ = jax.lax.fori_loop(
+            0,
+            _K_TABLE,
+            table_step,
+            (jnp.zeros((8, b_pad), jnp.float32), pmf0, pmf0),
+        )
+        # conditional-mean shift + variance rescale (see ops.sampling)
+        p_cond = lam / jnp.maximum(ctail, 1.0)
+        t = lam + (t - lam) * jnp.sqrt(jnp.maximum(1.0 - p_cond, 0.0))
+        t = t + ratio * (remaining - ctail)
+        t = jnp.clip(t, 0.0, remaining)
+
+        draws = jnp.where(lam < tau, t, g)
+        draws = jnp.where(ratio >= 1.0 - 1e-6, remaining, draws)
+        draws = jnp.where(ratio <= 0.0, jnp.zeros_like(draws), draws)
+
+        for wi in range(w_dim):
+            sums[wi] = sums[wi] + w_ref[:, u, wi].reshape(8, 1) * draws
+        remaining = remaining - draws
+
+    for wi in range(w_dim):
+        out_ref[wi * 8 : (wi + 1) * 8, :] = sums[wi]
+
+
+@functools.partial(jax.jit, static_argnames=("num_boot", "interpret"))
+def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
+                                interpret: bool = False):
+    """Pallas analog of ``fused_bootstrap_sums`` (cascade sampler only).
+
+    Args:
+      counts: ``[T, U]`` multiplicities (2D — fold any batch dims first).
+      weights: ``[T, U, W]``.
+      n_obs: scalar or ``[T]`` per-row total trials (rows from different
+        groups carry different cell counts).
+      num_boot: replicates B.
+
+    Returns:
+      sums ``[T, W, B]`` float32.
+    """
+    counts = jnp.asarray(counts, jnp.float32)
+    weights = jnp.asarray(weights, jnp.float32)
+    t_dim, u_dim = counts.shape
+    w_dim = weights.shape[-1]
+    b_pad = ((num_boot + 127) // 128) * 128
+    t_pad = ((t_dim + 7) // 8) * 8
+
+    n_rows = jnp.broadcast_to(jnp.asarray(n_obs, jnp.float32), (t_dim,))
+    if t_pad != t_dim:
+        counts = jnp.pad(counts, ((0, t_pad - t_dim), (0, 0)))
+        weights = jnp.pad(weights, ((0, t_pad - t_dim), (0, 0), (0, 0)))
+        n_rows = jnp.pad(n_rows, (0, t_pad - t_dim), constant_values=1.0)
+
+    ctail = jnp.cumsum(counts[:, ::-1], axis=-1)[:, ::-1]
+    ratio = jnp.where(ctail > 0, counts / jnp.maximum(ctail, 1.0), 0.0)
+    ratio = jnp.clip(ratio, 0.0, 1.0)
+    ratio = jnp.where((ctail > 0) & (counts >= ctail), 1.0, ratio)
+
+    seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
+    n_arr = n_rows[:, None]  # [t_pad, 1]
+
+    kernel = functools.partial(
+        _cascade_kernel,
+        u_dim=u_dim,
+        w_dim=w_dim,
+        b_pad=b_pad,
+        tau=CASCADE_TAU,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(t_pad // 8,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec((8, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # n per row
+            pl.BlockSpec((8, u_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # ratio
+            pl.BlockSpec((8, u_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # lam (counts)
+            pl.BlockSpec((8, u_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # ctail
+            pl.BlockSpec((8, u_dim, w_dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # weights
+        ],
+        out_specs=pl.BlockSpec((8 * w_dim, b_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad * w_dim, b_pad), jnp.float32),
+        interpret=interpret,
+    )(
+        seed[None],
+        n_arr,
+        ratio,
+        counts,
+        ctail,
+        weights,
+    )
+    # [t_pad * W, b_pad] with per-program [8*W] rows -> [T, W, B]
+    out = out.reshape(t_pad // 8, w_dim, 8, b_pad).transpose(0, 2, 1, 3)
+    out = out.reshape(t_pad, w_dim, b_pad)
+    return out[:t_dim, :, :num_boot]
+
+
+__all__ = ["fused_bootstrap_sums_pallas"]

