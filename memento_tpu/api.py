@@ -399,13 +399,17 @@ def _corr_from_cov_np(cov, var_1, var_2):
 
 
 def _require_model(uns):
-    model = est.get_noise_model(uns["estimator_type"])
+    """Resolve (model, custom_1d) for the batched device path.
+
+    Custom ``(fn_1d, fn_cov)`` estimator tuples (ref ``estimator.py:31-32``)
+    are supported when ``fn_1d`` is JAX-traceable: it is vmapped over gene
+    tiles on materialized resample counts.
+    """
+    et = uns["estimator_type"]
+    model = est.get_noise_model(et)
     if model is None:
-        raise NotImplementedError(
-            "hypothesis testing with custom estimator callables is not "
-            "supported by the batched device path; register a NoiseModel"
-        )
-    return model
+        return est.HYPER_RELATIVE, et[0]  # model unused on the custom path
+    return model, None
 
 
 def _stack_group_arrays(uns, groups):
@@ -466,7 +470,7 @@ def ht_1d_moments(
     if not inplace:
         adata = adata.copy()
     uns = adata.uns["memento"]
-    model = _require_model(uns)
+    model, custom_1d = _require_model(uns)
     groups = uns["groups"]
     gene_names = adata.var.index
     g = len(gene_names)
@@ -500,6 +504,7 @@ def ht_1d_moments(
         tile_size=tile_size,
         boot_chunk=boot_chunk,
         verbose=verbose > 1,
+        custom_1d=custom_1d,
     )
 
     # scatter [G, Kt] results into flat per-test arrays (ref main.py:399-404)
@@ -556,7 +561,12 @@ def ht_2d_moments(
     if not inplace:
         adata = adata.copy()
     uns = adata.uns["memento"]
-    model = _require_model(uns)
+    model, custom_1d = _require_model(uns)
+    if custom_1d is not None:
+        raise NotImplementedError(
+            "custom covariance estimators are not supported by the batched "
+            "2D device path yet"
+        )
     groups = uns["groups"]
 
     gene_idx_1 = uns["2d_moments"]["gene_idx_1"]

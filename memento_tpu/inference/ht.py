@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.bootstrap import bootstrap_1d, bootstrap_2d
+from ..ops.bootstrap import bootstrap_1d, bootstrap_1d_custom, bootstrap_2d
 from ..ops.estimators import NoiseModel, corr_from_cov
 from ..ops.mv_regression import residual_variance
 from ..ops.sampling import fold_key
@@ -84,6 +84,7 @@ def fill_invalid(key, vals, valid):
         "approx",
         "resample_rep",
         "boot_chunk",
+        "custom_1d",
     ),
 )
 def ht_1d_tile(
@@ -109,6 +110,7 @@ def ht_1d_tile(
     approx: bool = False,
     resample_rep: bool = False,
     boot_chunk: int = 1024,
+    custom_1d=None,
 ):
     """Differential mean/variability test for one tile of genes.
 
@@ -119,7 +121,28 @@ def ht_1d_tile(
     r, t, u_dim = values.shape
     b = num_boot
 
-    if sampler == "cascade_pallas":
+    if custom_1d is not None:
+        # user-supplied estimator (reference custom API) on materialized
+        # draws; R is small and static, so a Python loop over groups is fine
+        means, variances = [], []
+        for r_idx in range(r):
+            m_r, v_r = bootstrap_1d_custom(
+                fold_key(key, 0, r_idx),
+                custom_1d,
+                values[r_idx],
+                counts[r_idx],
+                inv_sf[r_idx],
+                inv_sf_sq[r_idx],
+                n_obs[r_idx],
+                q[r_idx],
+                b,
+                sampler,
+            )
+            means.append(m_r)
+            variances.append(v_r)
+        boot_mean_raw = jnp.stack(means)
+        boot_var_raw = jnp.stack(variances)
+    elif sampler == "cascade_pallas":
         # fold (group, gene) into one row axis; a single Pallas program
         # covers the whole tile with per-row trial counts
         from ..ops.pallas_kernels import fused_bootstrap_sums_pallas
@@ -498,6 +521,7 @@ def run_ht_1d(
     verbose: bool = False,
     groups: Optional[Sequence] = None,  # list of [Nc_r, G] sparse CSC
     approx_sf: Optional[Sequence] = None,  # list of [Nc_r] quantized factors
+    custom_1d=None,  # user estimator fn (reference custom API)
 ):
     """Run the 1D test over all genes, tiling the gene axis.
 
@@ -604,6 +628,7 @@ def run_ht_1d(
             approx=approx,
             resample_rep=resample_rep,
             boot_chunk=min(boot_chunk, num_boot),
+            custom_1d=custom_1d,
         )
         pending.append((start, stop, res))
         if verbose:

@@ -104,6 +104,42 @@ def bootstrap_2d(key, values_1, values_2, counts, inv_sf, inv_sf_sq, n_obs, q,
     return cov, var_1, var_2
 
 
+def bootstrap_1d_custom(key, custom_fn, values, counts, inv_sf, inv_sf_sq,
+                        n_obs, q, num_boot: int, sampler: str = "multinomial"):
+    """Bootstrap with a user-supplied 1D estimator (reference custom API).
+
+    The reference accepts custom ``(fn_1d, fn_cov)`` estimators called as
+    ``fn(data=(expr[U,1], rvs[U,B]), n_obs=..., q=..., size_factor=
+    (inv_sf[U,1], inv_sf_sq[U,1]))`` returning ``[mean, var]``
+    (ref ``estimator.py:31-32``, ``bootstrap.py:106-110``).  Any
+    JAX-traceable function with that signature works here; it is vmapped
+    over the gene tile on materialized resample counts (the fused weighted-
+    sum path only applies to the built-in moment structure).
+
+    Args:
+      values, counts, inv_sf, inv_sf_sq: ``[T, U]`` compressed tiles.
+
+    Returns:
+      (mean, var): ``[T, B]``.
+    """
+    if sampler in ("cascade", "cascade_pallas"):
+        sampler = "multinomial"
+    draws = bootstrap_counts(key, counts, n_obs, num_boot, sampler)  # [T,U,B]
+
+    def per_gene(v, d, isf, isf2):
+        out = custom_fn(
+            data=(v[:, None], d),
+            n_obs=n_obs,
+            q=q,
+            size_factor=(isf[:, None], isf2[:, None]),
+        )
+        return out[0], out[1]
+
+    import jax
+
+    return jax.vmap(per_gene)(values, draws, inv_sf, inv_sf_sq)
+
+
 def observed_moments_compressed(values, counts, inv_sf, inv_sf_sq, n_obs, q,
                                 model: NoiseModel):
     """Observed (non-resampled) moments from the compressed tiles.
@@ -118,4 +154,9 @@ def observed_moments_compressed(values, counts, inv_sf, inv_sf_sq, n_obs, q,
     return m[..., 0], v[..., 0]
 
 
-__all__ = ["bootstrap_1d", "bootstrap_2d", "observed_moments_compressed"]
+__all__ = [
+    "bootstrap_1d",
+    "bootstrap_2d",
+    "bootstrap_1d_custom",
+    "observed_moments_compressed",
+]
