@@ -39,9 +39,8 @@ import jax
 from .containers import AnnData
 from .inference.ht import run_ht_1d, run_ht_2d
 from .ops import estimators as est
-from .ops.compress import compress_group, compress_pairs
 from .ops.corr import corr_matrix_device, cov_sparse_pairs
-from .ops.mv_regression import fit_mv_regressor, residual_variance as _rv_jax
+from .ops.mv_regression import fit_mv_regressor
 from .ops.size_factor import bin_size_factor, estimate_size_factor
 
 __all__ = [

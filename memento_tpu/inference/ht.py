@@ -522,6 +522,7 @@ def run_ht_1d(
     groups: Optional[Sequence] = None,  # list of [Nc_r, G] sparse CSC
     approx_sf: Optional[Sequence] = None,  # list of [Nc_r] quantized factors
     custom_1d=None,  # user estimator fn (reference custom API)
+    mesh=None,  # jax.sharding.Mesh with a 'model' axis: shard genes over it
 ):
     """Run the 1D test over all genes, tiling the gene axis.
 
@@ -531,6 +532,11 @@ def run_ht_1d(
         compression happens per tile on the host and PIPELINES with device
         execution (tile launches are async; host compresses tile t+1 while
         the device runs tile t) — essential when the host has few cores.
+
+    With ``mesh`` given, each tile's gene axis is sharded over the mesh's
+    ``model`` axis (tests for different genes are independent, so this is
+    communication-free SPMD); the tile size is rounded to a multiple of the
+    model-axis size.
 
     Returns dict of ``[G, Kt]`` arrays: mean_coef/se/pval, var_coef/se/pval.
     """
@@ -557,6 +563,9 @@ def run_ht_1d(
 
     if tile_size is None:
         tile_size = min(default_tile_size(r, num_boot), _round_up(g, 64))
+    if mesh is not None:
+        n_model = mesh.shape.get("model", 1)
+        tile_size = _round_up(tile_size, n_model)
 
     out = {
         k: np.full((g, kt), np.nan)
@@ -606,7 +615,7 @@ def run_ht_1d(
         else:
             treat_tile = np.broadcast_to(treatment, (stop - start, r, kt))
             treat_tile = _pad_axis(treat_tile, t, 0)
-        res = ht_1d_tile(
+        tile_args = (
             fold_key(key, start),
             jnp.asarray(values),
             jnp.asarray(counts),
@@ -620,6 +629,13 @@ def run_ht_1d(
             jnp.asarray(n_obs),
             jnp.asarray(covariate, dtype=jnp.float32),
             jnp.asarray(treat_tile, dtype=jnp.float32),
+        )
+        if mesh is not None:
+            from ..parallel.sharded import HT1D_GENE_AXES, shard_ht_inputs
+
+            tile_args = shard_ht_inputs(mesh, tile_args, HT1D_GENE_AXES)
+        res = ht_1d_tile(
+            *tile_args,
             num_boot=num_boot,
             model=model,
             sampler=sampler,

@@ -102,3 +102,48 @@ print('sharded ht ok')
 """
     )
     assert "sharded ht ok" in out
+
+
+def test_run_ht_1d_with_mesh_matches_unsharded():
+    """run_ht_1d(mesh=...) over 8 virtual devices == single-device results."""
+    out = _run(
+        """
+import numpy as np, jax, scipy.sparse as sparse
+from memento_tpu.ops.size_factor import bin_size_factor
+from memento_tpu.ops.estimators import HYPER_RELATIVE, mean_var_sparse
+from memento_tpu.ops.mv_regression import fit_mv_regressor
+from memento_tpu.api import _residual_variance_np
+from memento_tpu.inference.ht import run_ht_1d
+from memento_tpu.parallel.mesh import make_mesh
+
+rng = np.random.default_rng(0)
+n, g = 600, 32
+X = rng.poisson(rng.gamma(2.0, 1.0, size=(2*n, g)) * 0.3)
+groups = [sparse.csc_matrix(X[:n].astype(float)), sparse.csc_matrix(X[n:].astype(float))]
+sf = X.sum(1).astype(float); sf /= sf.mean()
+asf = bin_size_factor(sf, 20)
+tm, tv = [], []
+for r, grp in enumerate(groups):
+    m, v = mean_var_sparse(grp, sf[r*n:(r+1)*n], 0.1)
+    tm.append(m); tv.append(v)
+tm, tv = np.array(tm), np.array(tv)
+mv = fit_mv_regressor(tm.ravel(), tv.ravel())
+trv = np.stack([_residual_variance_np(tm[r], tv[r], mv) for r in range(2)])
+kwargs = dict(
+    true_mean=tm, true_res_var=trv, mv_coeffs=np.tile(mv, (2, 1)),
+    q=np.full(2, 0.1), covariate=np.ones((2, 1)),
+    treatment=np.array([[0.0], [1.0]]), num_boot=100,
+    model=HYPER_RELATIVE, resampling="bootstrap", tile_size=32,
+    groups=groups, approx_sf=[asf[:n], asf[n:]],
+)
+ref = run_ht_1d(jax.random.key(0), **kwargs)
+mesh = make_mesh(shape=(1, 8))
+with mesh:
+    got = run_ht_1d(jax.random.key(0), mesh=mesh, **kwargs)
+for k in ["mean_coef", "var_coef", "mean_pval", "var_pval"]:
+    np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-6,
+                               equal_nan=True)
+print("mesh run ok")
+"""
+    )
+    assert "mesh run ok" in out
