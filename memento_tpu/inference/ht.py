@@ -491,14 +491,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _resolve_sampler(sampler: str) -> str:
-    """'auto' -> the Pallas fused kernel on real TPUs, XLA cascade elsewhere
-    (the Pallas PRNG is TPU-only; interpret mode stubs it)."""
+# The Pallas kernel statically unrolls the U bins; past this many bins its
+# compile time outweighs the run-time win and the rolled XLA scan is used.
+PALLAS_U_LIMIT = 256
+
+
+def _resolve_sampler(sampler: str, u: int = 0) -> str:
+    """'auto' -> the Pallas fused kernel on real TPUs (for moderate U),
+    XLA cascade elsewhere (the Pallas PRNG is TPU-only; interpret mode
+    stubs it)."""
+    if sampler == "cascade_pallas" and u > PALLAS_U_LIMIT:
+        return "cascade"
     if sampler != "auto":
         return sampler
     import jax as _jax
 
-    return "cascade_pallas" if _jax.default_backend() == "tpu" else "cascade"
+    if _jax.default_backend() != "tpu":
+        return "cascade"
+    return "cascade_pallas" if u <= PALLAS_U_LIMIT else "cascade"
 
 
 def run_ht_1d(
@@ -610,6 +620,7 @@ def run_ht_1d(
         t = tile_size
         sl = slice(start, stop)
         values, counts, isf, isf2, nuq = tile_inputs(start, stop, t)
+        tile_sampler = _resolve_sampler(sampler, counts.shape[-1])
         if per_gene_treatment:
             treat_tile = _pad_axis(treatment[sl], t, 0)
         else:
@@ -638,7 +649,7 @@ def run_ht_1d(
             *tile_args,
             num_boot=num_boot,
             model=model,
-            sampler=sampler,
+            sampler=tile_sampler,
             one_sample=one_sample,
             resampling=resampling,
             approx=approx,
@@ -757,6 +768,7 @@ def run_ht_2d(
         t = tile_size
         sl = slice(start, stop)
         v1, v2, cnt, isf, isf2 = tile_inputs(start, stop, t)
+        tile_sampler = _resolve_sampler(sampler, cnt.shape[-1])
         if per_pair_treatment:
             treat_tile = _pad_axis(treatment[sl], t, 0)
         else:
@@ -776,7 +788,7 @@ def run_ht_2d(
             jnp.asarray(treat_tile, dtype=jnp.float32),
             num_boot=num_boot,
             model=model,
-            sampler=sampler,
+            sampler=tile_sampler,
             one_sample=one_sample,
             resampling=resampling,
             approx=approx,
