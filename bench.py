@@ -24,7 +24,7 @@ import numpy as np
 import scipy.sparse as sparse
 
 N_CELLS = int(os.environ.get("BENCH_CELLS", 200_000))
-N_GENES = int(os.environ.get("BENCH_GENES", 2048))
+N_GENES = int(os.environ.get("BENCH_GENES", 1024))
 NUM_BOOT = int(os.environ.get("BENCH_BOOT", 1000))
 TILE = int(os.environ.get("BENCH_TILE", 512))  # fixed tile: one compile, reused across pipelined tiles
 BASELINE_S_PER_GENE = 0.0446  # CPU memento @200k cells, B=1000 (BASELINE.md)

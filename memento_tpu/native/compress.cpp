@@ -12,8 +12,9 @@
 //   slots [n_z, n_z + n_nz)  : nonzero (value, bin) combos, code-sorted
 //   slots beyond             : padding (counts 0, inv_sf 1)
 //
-// Parallelized over genes with OpenMP; each gene's work is a sort +
-// run-length encoding of its nonzeros, O(nnz_g log nnz_g).
+// Parallelized over genes with OpenMP; each gene's work is one counting
+// pass over its nonzeros: codes (value*nbins + bin) are small dense
+// integers, so a lazily-reset histogram beats sorting — O(nnz_g + U_g).
 
 #include <algorithm>
 #include <cstdint>
@@ -22,6 +23,28 @@
 #ifdef _OPENMP
 #include <omp.h>
 #endif
+
+namespace {
+
+// Per-thread lazily-grown histogram over code space; `touched` records the
+// codes hit for O(U) reset and for iteration in first-seen order.
+struct CodeHist {
+  std::vector<int64_t> hist;
+  std::vector<int64_t> touched;
+
+  void ensure(size_t n) {
+    if (hist.size() < n) hist.resize(n, 0);
+  }
+  inline void add(int64_t code) {
+    if (hist[code]++ == 0) touched.push_back(code);
+  }
+  void reset() {
+    for (int64_t c : touched) hist[c] = 0;
+    touched.clear();
+  }
+};
+
+}  // namespace
 
 extern "C" {
 
@@ -36,27 +59,26 @@ void count_unique(int64_t n_cells, int64_t n_genes, int32_t nbins,
 
 #pragma omp parallel
   {
-    std::vector<int64_t> codes;
+    CodeHist h;
     std::vector<int64_t> nz_bin(nbins);
 #pragma omp for schedule(dynamic, 64)
     for (int64_t g = 0; g < n_genes; ++g) {
       const int64_t lo = indptr[g], hi = indptr[g + 1];
-      codes.clear();
-      codes.reserve(hi - lo);
       std::fill(nz_bin.begin(), nz_bin.end(), 0);
+      int64_t vmax = 0;
+      for (int64_t k = lo; k < hi; ++k)
+        if (data[k] > vmax) vmax = data[k];
+      h.ensure(static_cast<size_t>((vmax + 1)) * nbins);
       for (int64_t k = lo; k < hi; ++k) {
         const int32_t b = bins[indices[k]];
         nz_bin[b]++;
-        codes.push_back(data[k] * nbins + b);
+        h.add(data[k] * nbins + b);
       }
-      std::sort(codes.begin(), codes.end());
-      int64_t uniq = 0;
-      for (size_t i = 0; i < codes.size(); ++i)
-        if (i == 0 || codes[i] != codes[i - 1]) uniq++;
       int64_t zbins = 0;
       for (int32_t b = 0; b < nbins; ++b)
         if (bin_total[b] - nz_bin[b] > 0) zbins++;
-      n_unique[g] = static_cast<int32_t>(uniq + zbins);
+      n_unique[g] = static_cast<int32_t>(h.touched.size() + zbins);
+      h.reset();
     }
   }
 }
@@ -72,20 +94,21 @@ void pack_unique(int64_t n_cells, int64_t n_genes, int32_t nbins,
 
 #pragma omp parallel
   {
-    std::vector<int64_t> codes;
+    CodeHist h;
     std::vector<int64_t> nz_bin(nbins);
 #pragma omp for schedule(dynamic, 64)
     for (int64_t g = 0; g < n_genes; ++g) {
       const int64_t lo = indptr[g], hi = indptr[g + 1];
-      codes.clear();
-      codes.reserve(hi - lo);
       std::fill(nz_bin.begin(), nz_bin.end(), 0);
+      int64_t vmax = 0;
+      for (int64_t k = lo; k < hi; ++k)
+        if (data[k] > vmax) vmax = data[k];
+      h.ensure(static_cast<size_t>((vmax + 1)) * nbins);
       for (int64_t k = lo; k < hi; ++k) {
         const int32_t b = bins[indices[k]];
         nz_bin[b]++;
-        codes.push_back(data[k] * nbins + b);
+        h.add(data[k] * nbins + b);
       }
-      std::sort(codes.begin(), codes.end());
 
       float* vrow = values + g * u_max;
       float* crow = counts + g * u_max;
@@ -101,18 +124,14 @@ void pack_unique(int64_t n_cells, int64_t n_genes, int32_t nbins,
           slot++;
         }
       }
-      // nonzero combos: run-length encode sorted codes
-      size_t i = 0;
-      while (i < codes.size()) {
-        size_t j = i;
-        while (j < codes.size() && codes[j] == codes[i]) j++;
-        const int64_t code = codes[i];
+      // nonzero combos in first-seen order
+      for (int64_t code : h.touched) {
         vrow[slot] = static_cast<float>(code / nbins);
-        crow[slot] = static_cast<float>(j - i);
+        crow[slot] = static_cast<float>(h.hist[code]);
         srow[slot] = static_cast<float>(1.0 / bin_values[code % nbins]);
         slot++;
-        i = j;
       }
+      h.reset();
       // padding slots already initialized by the caller (counts 0, inv_sf 1)
     }
   }

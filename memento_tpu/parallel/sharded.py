@@ -15,7 +15,7 @@ Two building blocks (SURVEY.md §2.2, §7):
 
 from __future__ import annotations
 
-import functools
+
 from typing import Tuple
 
 import jax

@@ -11,7 +11,7 @@ blocks on re-invocation — a crash resumes where it left off.
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Dict, Optional
 
 import numpy as np
 
