@@ -129,15 +129,28 @@ def setup_memento(
     all_res_var = _residual_variance_np(all_m, all_v,
                                         fit_mv_regressor(all_m, all_v))
 
-    # least-variable genes for normalization (ref 70-75)
-    rv_ulim = np.quantile(all_res_var[np.isfinite(all_res_var)], trim_percent)
-    all_res_var = np.where(np.isfinite(all_res_var), all_res_var, np.inf)
-    mask = all_res_var < rv_ulim
+    # least-variable genes for normalization (ref 70-75).  Robustness guard
+    # beyond the reference: with no finite residual variances (degenerate
+    # tiny inputs) fall back to all expressed genes instead of crashing on
+    # an empty quantile.
+    finite_rv = all_res_var[np.isfinite(all_res_var)]
+    if finite_rv.size:
+        rv_ulim = np.quantile(finite_rv, trim_percent)
+        all_res_var = np.where(np.isfinite(all_res_var), all_res_var, np.inf)
+        mask = all_res_var < rv_ulim
+    else:
+        mask = obs_mean > 0
+    if not mask.any():
+        mask = obs_mean > 0
     uns["least_variable_genes"] = adata.var.index[mask].tolist()
 
-    # masked + shrunk size factor (ref 77-83)
+    # masked + shrunk size factor (ref 77-83); guard zero-total cells
+    # (1/sf would be inf — the reference propagates the inf)
     size_factor = estimate_size_factor(adata.X, estimator_type, mask=mask,
                                        shrinkage=shrinkage)
+    if np.any(size_factor <= 0):
+        floor = size_factor[size_factor > 0].min() if (size_factor > 0).any() else 1.0
+        size_factor = np.where(size_factor > 0, size_factor, floor)
     adata.obs["memento_size_factor"] = size_factor
 
     # final overall moments with the configured estimator (ref 85-91)

@@ -118,6 +118,13 @@ def ht_1d_tile(
     p-values, GEV-refinement flags, and the full coefficient matrices
     (``[T, Kt, B+1]``) for host-side tail refinement.
     """
+    # transport dtypes are the caller's choice (int16 values / f16 size
+    # factors halve host->device bytes); compute is always f32
+    values = values.astype(jnp.float32)
+    counts = counts.astype(jnp.float32)
+    inv_sf = inv_sf.astype(jnp.float32)
+    inv_sf_sq = inv_sf_sq.astype(jnp.float32)
+
     r, t, u_dim = values.shape
     b = num_boot
 
@@ -335,6 +342,12 @@ def ht_2d_tile(
 
     Mirrors ``_ht_2d`` + ``_regress_2d`` (ref ``hypothesis_test.py:303-415``).
     """
+    values_1 = values_1.astype(jnp.float32)
+    values_2 = values_2.astype(jnp.float32)
+    counts = counts.astype(jnp.float32)
+    inv_sf = inv_sf.astype(jnp.float32)
+    inv_sf_sq = inv_sf_sq.astype(jnp.float32)
+
     r, p, u_dim = values_1.shape
     b = num_boot
 
@@ -605,11 +618,16 @@ def run_ht_1d(
             isf = np.stack([_pad_axis(c.inv_sf, u, 1, 1.0) for c in comps])
             isf2 = np.stack([_pad_axis(c.inv_sf_sq, u, 1, 1.0) for c in comps])
             nuq = np.stack([c.n_unique for c in comps])
+        values = _pad_axis(values, t, 1)
+        # compact transport: expression values are small ints; quantized
+        # size factors tolerate f16 (they are 30-bin approximations already)
+        if values.max(initial=0.0) < 32767:
+            values = values.astype(np.int16)
         return (
-            _pad_axis(values, t, 1),
+            values,
             _pad_axis(counts, t, 1),
-            _pad_axis(isf, t, 1, 1.0),
-            _pad_axis(isf2, t, 1, 1.0),
+            _pad_axis(isf, t, 1, 1.0).astype(np.float16),
+            _pad_axis(isf2, t, 1, 1.0).astype(np.float16),
             _pad_axis(nuq, t, 1),
         )
 
@@ -754,12 +772,17 @@ def run_ht_2d(
             cnt = np.stack([_pad_axis(c.counts, u, 1) for c in comps])
             isf = np.stack([_pad_axis(c.inv_sf, u, 1, 1.0) for c in comps])
             isf2 = np.stack([_pad_axis(c.inv_sf_sq, u, 1, 1.0) for c in comps])
+        v1 = _pad_axis(v1, t, 1)
+        v2 = _pad_axis(v2, t, 1)
+        if max(v1.max(initial=0.0), v2.max(initial=0.0)) < 32767:
+            v1 = v1.astype(np.int16)
+            v2 = v2.astype(np.int16)
         return (
-            _pad_axis(v1, t, 1),
-            _pad_axis(v2, t, 1),
+            v1,
+            v2,
             _pad_axis(cnt, t, 1),
-            _pad_axis(isf, t, 1, 1.0),
-            _pad_axis(isf2, t, 1, 1.0),
+            _pad_axis(isf, t, 1, 1.0).astype(np.float16),
+            _pad_axis(isf2, t, 1, 1.0).astype(np.float16),
         )
 
     pending = []
