@@ -28,6 +28,7 @@ from ..ops.bootstrap import bootstrap_1d, bootstrap_1d_custom, bootstrap_2d
 from ..ops.estimators import NoiseModel, corr_from_cov
 from ..ops.mv_regression import residual_variance
 from ..ops.sampling import fold_key
+from ..utils import profiling
 from .asl import asl_counting
 from .regression import meta_regress
 
@@ -637,7 +638,8 @@ def run_ht_1d(
         stop = min(start + tile_size, g)
         t = tile_size
         sl = slice(start, stop)
-        values, counts, isf, isf2, nuq = tile_inputs(start, stop, t)
+        with profiling.phase("ht1d.compress+pack"):
+            values, counts, isf, isf2, nuq = tile_inputs(start, stop, t)
         tile_sampler = _resolve_sampler(sampler, counts.shape[-1])
         if per_gene_treatment:
             treat_tile = _pad_axis(treatment[sl], t, 0)
