@@ -334,22 +334,33 @@ def compute_1d_moments(adata, inplace=True, min_perc_group=0.7,
 # ---------------------------------------------------------------------------
 
 
-def get_corr_matrix(adata, group):
+def get_corr_matrix(adata, group, mesh=None):
     """All-by-all correlation matrix for one group (ref ``main.py:277-291``),
-    computed as blocked MXU matmuls on device."""
+    computed as blocked MXU matmuls on device.
+
+    With ``mesh`` given (a 2-axis ``jax.sharding.Mesh``), the G x G output is
+    sharded 2-D over the mesh so gene counts whose correlation matrix exceeds
+    one device's memory still fit (see
+    ``parallel.sharded.corr_matrix_sharded``).
+    """
     uns = adata.uns["memento"]
     model = est.get_noise_model(uns["estimator_type"])
     if model is None:
         raise NotImplementedError(
             "get_corr_matrix requires a registry estimator_type"
         )
-    return corr_matrix_device(
+    args = (
         uns["group_cells"][group],
         uns["size_factor"][group],
         uns["group_q"][group],
         uns["1d_moments"][group][1],
         model,
     )
+    if mesh is not None:
+        from .parallel.sharded import corr_matrix_sharded
+
+        return corr_matrix_sharded(mesh, *args)
+    return corr_matrix_device(*args)
 
 
 def compute_2d_moments(adata, gene_pairs, inplace=True):
@@ -574,11 +585,10 @@ def ht_2d_moments(
         adata = adata.copy()
     uns = adata.uns["memento"]
     model, custom_1d = _require_model(uns)
-    if custom_1d is not None:
-        raise NotImplementedError(
-            "custom covariance estimators are not supported by the batched "
-            "2D device path yet"
-        )
+    # custom (fn_1d, fn_cov) tuples run on materialized resample counts
+    # inside the batched tile (ref bootstrap.py:141-155 custom-call shape)
+    custom_est = (custom_1d, uns["estimator_type"][1]) \
+        if custom_1d is not None else None
     groups = uns["groups"]
 
     gene_idx_1 = uns["2d_moments"]["gene_idx_1"]
@@ -653,6 +663,7 @@ def ht_2d_moments(
             tile_size=tile_size,
             boot_chunk=boot_chunk,
             verbose=verbose > 1,
+            custom_est=custom_est,
         )
 
         # broadcast each unique pair's result to all duplicates

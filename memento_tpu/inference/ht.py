@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.bootstrap import bootstrap_1d, bootstrap_1d_custom, bootstrap_2d
+from ..ops.bootstrap import (
+    bootstrap_1d,
+    bootstrap_1d_custom,
+    bootstrap_2d,
+    bootstrap_2d_custom,
+)
 from ..ops.estimators import NoiseModel, corr_from_cov
 from ..ops.mv_regression import residual_variance
 from ..ops.sampling import fold_key
@@ -315,6 +320,7 @@ def _nanstd(x, axis=-1):
         "approx",
         "resample_rep",
         "boot_chunk",
+        "custom_est",
     ),
 )
 def ht_2d_tile(
@@ -338,6 +344,7 @@ def ht_2d_tile(
     approx: bool = False,
     resample_rep: bool = False,
     boot_chunk: int = 1024,
+    custom_est=None,  # (fn_1d, fn_cov) user estimators (reference custom API)
 ):
     """Differential-correlation test for one tile of gene pairs.
 
@@ -352,7 +359,33 @@ def ht_2d_tile(
     r, p, u_dim = values_1.shape
     b = num_boot
 
-    if sampler == "cascade_pallas":
+    if custom_est is not None:
+        # user-supplied (fn_1d, fn_cov) estimators on materialized draws;
+        # R is small and static, so a Python loop over groups is fine
+        fn_1d, fn_cov = custom_est
+        covs, v1s, v2s = [], [], []
+        for r_idx in range(r):
+            cov_r, v1_r, v2_r = bootstrap_2d_custom(
+                fold_key(key, 0, r_idx),
+                fn_1d,
+                fn_cov,
+                values_1[r_idx],
+                values_2[r_idx],
+                counts[r_idx],
+                inv_sf[r_idx],
+                inv_sf_sq[r_idx],
+                n_obs[r_idx],
+                q[r_idx],
+                b,
+                sampler,
+            )
+            covs.append(cov_r)
+            v1s.append(v1_r)
+            v2s.append(v2_r)
+        boot_corr_raw = corr_from_cov(
+            jnp.stack(covs), jnp.stack(v1s), jnp.stack(v2s)
+        )
+    elif sampler == "cascade_pallas":
         from ..ops.pallas_kernels import fused_bootstrap_sums_pallas
 
         c = model.var_correction(q)[:, None, None]
@@ -723,6 +756,7 @@ def run_ht_2d(
     approx_sf: Optional[Sequence] = None,
     idx1: Optional[np.ndarray] = None,  # [P] gene indices of each pair
     idx2: Optional[np.ndarray] = None,
+    custom_est=None,  # (fn_1d, fn_cov) user estimators (reference custom API)
 ):
     """Run the 2D (differential correlation) test over all pairs.
 
@@ -819,6 +853,7 @@ def run_ht_2d(
             approx=approx,
             resample_rep=resample_rep,
             boot_chunk=min(boot_chunk, num_boot),
+            custom_est=custom_est,
         )
         pending.append((start, stop, res))
         if verbose:

@@ -140,6 +140,46 @@ def bootstrap_1d_custom(key, custom_fn, values, counts, inv_sf, inv_sf_sq,
     return jax.vmap(per_gene)(values, draws, inv_sf, inv_sf_sq)
 
 
+def bootstrap_2d_custom(key, custom_1d, custom_cov, values_1, values_2,
+                        counts, inv_sf, inv_sf_sq, n_obs, q, num_boot: int,
+                        sampler: str = "multinomial"):
+    """Bootstrap cov/var1/var2 with user-supplied estimators.
+
+    The reference calls a custom covariance estimator as
+    ``fn_cov(data=(expr1[U,1], expr2[U,1], rvs[U,B]), n_obs=..., q=...,
+    size_factor=(inv_sf, inv_sf_sq))`` and the 1D estimator on each marginal
+    (ref ``bootstrap.py:141-155``).  Any JAX-traceable pair with those
+    signatures works here; they are vmapped over the pair tile on
+    materialized resample counts.
+
+    Args:
+      values_1, values_2, counts, inv_sf, inv_sf_sq: ``[P, U]`` joint
+        compressed tiles.
+
+    Returns:
+      (cov, var_1, var_2): ``[P, B]``.
+    """
+    if sampler in ("cascade", "cascade_pallas"):
+        sampler = "multinomial"
+    draws = bootstrap_counts(key, counts, n_obs, num_boot, sampler)  # [P,U,B]
+
+    def per_pair(v1, v2, d, isf, isf2):
+        sf = (isf[:, None], isf2[:, None])
+        cov = custom_cov(
+            data=(v1[:, None], v2[:, None], d), n_obs=n_obs, q=q,
+            size_factor=sf,
+        )
+        _, var_1 = custom_1d(data=(v1[:, None], d), n_obs=n_obs, q=q,
+                             size_factor=sf)
+        _, var_2 = custom_1d(data=(v2[:, None], d), n_obs=n_obs, q=q,
+                             size_factor=sf)
+        return cov, var_1, var_2
+
+    import jax
+
+    return jax.vmap(per_pair)(values_1, values_2, draws, inv_sf, inv_sf_sq)
+
+
 def observed_moments_compressed(values, counts, inv_sf, inv_sf_sq, n_obs, q,
                                 model: NoiseModel):
     """Observed (non-resampled) moments from the compressed tiles.
@@ -158,5 +198,6 @@ __all__ = [
     "bootstrap_1d",
     "bootstrap_2d",
     "bootstrap_1d_custom",
+    "bootstrap_2d_custom",
     "observed_moments_compressed",
 ]

@@ -104,10 +104,100 @@ def sharded_ht_1d_tile(mesh: Mesh, *args, **static_kwargs):
     return ht_1d_tile(*placed, **static_kwargs)
 
 
+# ---------------------------------------------------------------------------
+# 2-D sharded G x G correlation (the "tensor parallel" analog, SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _corr_finish(S, s1, sdiag, var, n, c):
+    """cov -> corr with reference semantics (ref estimator.py:256-268),
+    elementwise over the sharded G x G tiles."""
+    prod = S / n - jnp.diag(c * sdiag / n)
+    cov = prod - jnp.outer(s1 / n, s1 / n)
+    var = jnp.where(var > 0, var, jnp.nan)
+    denom = jnp.sqrt(jnp.outer(var, var))
+    corr = cov / denom
+    corr = jnp.where(jnp.abs(corr) <= 1.05, jnp.clip(corr, -1.0, 1.0),
+                     jnp.nan)
+    return jnp.where(jnp.isfinite(denom), corr, jnp.nan)
+
+
+def corr_matrix_sharded(mesh: Mesh, X, size_factor, q, var, model,
+                        block: int = 4096):
+    """All-by-all G x G correlation with the output sharded 2-D over the mesh.
+
+    The Gram accumulator ``S[G, G]`` is laid out ``P(axis0, axis1)`` over both
+    mesh axes; each streamed cell block is replicated, and GSPMD partitions
+    every ``(wx)^T (wx)`` update into per-device ``[G/d0, G/d1]`` output
+    tiles — communication-free, with memory and FLOPs scaling 1/D.  This is
+    the TPU equivalent of the reference's dense ``(X.T * Y).toarray()/N``
+    product (ref ``estimator.py:255``) at gene counts where G x G no longer
+    fits one device.
+
+    Args:
+      mesh: a 2-axis mesh (e.g. ``('data', 'model')``).
+      X: ``[N, G]`` sparse/dense counts for one group.
+      size_factor: ``[N]`` exact size factors.
+      var: ``[G]`` per-gene variances for the denominator.
+
+    Returns:
+      ``[G, G]`` numpy array (gathered to host).
+    """
+    import numpy as np
+    import scipy.sparse as sparse
+
+    from ..ops.corr import _gram_update
+
+    a0, a1 = mesh.axis_names[0], mesh.axis_names[-1]
+    d0, d1 = mesh.shape[a0], mesh.shape[a1]
+    n, g = X.shape
+    gp = _round_up(g, max(d0 * d1, 1))
+
+    sharding = NamedSharding(mesh, P(a0, a1))
+    repl = NamedSharding(mesh, P())
+    S = jax.jit(
+        lambda: jnp.zeros((gp, gp), jnp.float32), out_shardings=sharding
+    )()
+    s1 = jax.device_put(jnp.zeros((gp,), jnp.float32), repl)
+    sdiag = jax.device_put(jnp.zeros((gp,), jnp.float32), repl)
+
+    sf = np.asarray(size_factor, dtype=np.float64)
+    issp = sparse.issparse(X)
+    Xc = X.tocsr() if issp else np.asarray(X)
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        xb = Xc[start:stop]
+        xb = np.asarray(xb.todense()) if issp else np.asarray(xb)
+        if gp > g:
+            xb = np.pad(xb, ((0, 0), (0, gp - g)))
+        S, s1, sdiag = _gram_update(
+            jax.device_put(jnp.asarray(xb, jnp.float32), repl),
+            jax.device_put(jnp.asarray(1.0 / sf[start:stop], jnp.float32),
+                           repl),
+            jax.device_put(jnp.asarray(1.0 / sf[start:stop] ** 2,
+                                       jnp.float32), repl),
+            S, s1, sdiag,
+        )
+
+    var_p = np.full(gp, np.nan, dtype=np.float32)
+    var_p[:g] = np.asarray(var, dtype=np.float32)
+    c = float(np.asarray(model.var_correction(q)))
+    corr = jax.jit(_corr_finish, static_argnums=(4, 5),
+                   out_shardings=sharding)(
+        S, s1, sdiag, jax.device_put(jnp.asarray(var_p), repl), float(n), c
+    )
+    return np.asarray(corr)[:g, :g]
+
+
 __all__ = [
     "dp_suffstats",
     "dp_mean_var",
     "sharded_ht_1d_tile",
     "shard_ht_inputs",
     "HT1D_GENE_AXES",
+    "corr_matrix_sharded",
 ]

@@ -36,6 +36,31 @@ def custom_cov(data, n_obs, q, size_factor, idx1=None, idx2=None):
     raise NotImplementedError  # not exercised in this test
 
 
+def custom_poisson_cov(data, n_obs, q, size_factor, idx1=None, idx2=None):
+    """User-written pairwise covariance with the reference's dual signature
+    (mirrors ``_poisson_cov_relative``, ref estimator.py:136-162):
+    tuple path ``(expr1[U,1], expr2[U,1], rvs[U,B])`` is JAX-traceable."""
+    if isinstance(data, tuple):
+        m1 = (data[0] * data[2] * size_factor[0]).sum(axis=0) / n_obs
+        m2 = (data[1] * data[2] * size_factor[0]).sum(axis=0) / n_obs
+        mx = (data[0] * data[1] * data[2] * size_factor[1]).sum(axis=0) / n_obs
+        return mx - m1 * m2
+    # sparse path (host): numpy/scipy
+    row_weight = (1.0 / size_factor).reshape(-1, 1)
+    X = data[:, idx1].multiply(row_weight).tocsr()
+    Y = data[:, idx2].multiply(row_weight).tocsr()
+    prod = np.asarray(X.multiply(Y).sum(axis=0)).ravel() / n_obs
+    overlap = idx1 == idx2
+    if overlap.any():
+        diag = np.asarray(
+            data[:, idx1[overlap]].multiply(row_weight**2).sum(axis=0)
+        ).ravel() / n_obs
+        prod[overlap] -= diag
+    m1 = np.asarray(X.mean(axis=0)).ravel()
+    m2 = np.asarray(Y.mean(axis=0)).ravel()
+    return prod - m1 * m2
+
+
 def test_custom_estimator_matches_registry_poisson(rng):
     X, cond, rep, qs = simulate_two_groups(
         n_cells_per_group=400, n_genes=20, q=0.1,
@@ -82,3 +107,46 @@ def test_custom_estimator_matches_registry_poisson(rng):
     assert len(planted) >= 1
     assert (planted.de_pval < 0.1).any()
     assert planted.de_coef.mean() > 0.2
+
+
+def test_custom_estimator_2d_matches_registry_poisson(rng):
+    X, cond, rep, qs = simulate_two_groups(
+        n_cells_per_group=400, n_genes=12, q=0.15,
+        de_genes=np.arange(2), de_lfc=0.6, n_replicates=2, rng=rng,
+    )
+    obs = pd.DataFrame(
+        {"condition": cond.astype(str), "replicate": rep.astype(str),
+         "capture_q": qs}
+    )
+
+    def run(estimator_type):
+        adata = mt.AnnData(sparse.csr_matrix(X.astype(np.float64)), obs=obs.copy())
+        mt.setup_memento(adata, q_column="capture_q", filter_mean_thresh=0.01,
+                         trim_percent=0.3, estimator_type=estimator_type)
+        mt.create_groups(adata, label_columns=["condition", "replicate"])
+        mt.compute_1d_moments(adata, min_perc_group=0.5)
+        genes = adata.var.index.tolist()
+        pairs = [(genes[0], g) for g in genes[1:5]]
+        mt.compute_2d_moments(adata, gene_pairs=pairs)
+        gdf = mt.get_groups(adata)
+        cov = pd.DataFrame(np.ones((len(gdf), 1)), index=gdf.index)
+        tx = pd.DataFrame({"tx": gdf["condition"].astype(int).values},
+                          index=gdf.index)
+        mt.ht_2d_moments(adata, covariate=cov, treatment=tx, num_boot=120,
+                         resampling="bootstrap", seed=0)
+        return mt.get_2d_ht_result(adata)
+
+    res_custom = run((custom_poisson_1d, custom_poisson_cov))
+    res_registry = run("poi_relative")
+
+    # observed correlations are deterministic -> coefficients match exactly
+    np.testing.assert_allclose(
+        res_custom.corr_coef.values, res_registry.corr_coef.values,
+        rtol=1e-5, equal_nan=True,
+    )
+    ok = np.isfinite(res_custom.corr_se) & np.isfinite(res_registry.corr_se) & (
+        res_registry.corr_se > 0
+    )
+    assert ok.sum() >= 2
+    ratio = res_custom.corr_se[ok] / res_registry.corr_se[ok]
+    assert np.median(np.abs(np.log(ratio))) < 0.5

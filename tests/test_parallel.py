@@ -104,6 +104,34 @@ print('sharded ht ok')
     assert "sharded ht ok" in out
 
 
+def test_corr_matrix_sharded_matches_device():
+    """2-D mesh-sharded G x G correlation == single-device blocked result."""
+    out = _run(
+        """
+import numpy as np, scipy.sparse as sparse
+from memento_tpu.ops.corr import corr_matrix_device
+from memento_tpu.ops.estimators import HYPER_RELATIVE, mean_var_sparse
+from memento_tpu.parallel.mesh import make_mesh
+from memento_tpu.parallel.sharded import corr_matrix_sharded
+
+rng = np.random.default_rng(0)
+n, g = 500, 37  # g NOT divisible by the mesh -> exercises padding
+X = sparse.csr_matrix(
+    rng.poisson(rng.gamma(2.0, 1.0, size=(n, g)) * 0.4).astype(float)
+)
+sf = np.asarray(X.sum(1)).ravel(); sf /= sf.mean()
+_, var = mean_var_sparse(X, sf, 0.1)
+ref = corr_matrix_device(X, sf, 0.1, var, HYPER_RELATIVE, block=128)
+mesh = make_mesh(shape=(2, 4))
+got = corr_matrix_sharded(mesh, X, sf, 0.1, var, HYPER_RELATIVE, block=128)
+assert got.shape == (g, g)
+np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-5, equal_nan=True)
+print('corr sharded ok')
+"""
+    )
+    assert "corr sharded ok" in out
+
+
 def test_run_ht_1d_with_mesh_matches_unsharded():
     """run_ht_1d(mesh=...) over 8 virtual devices == single-device results."""
     out = _run(
