@@ -72,12 +72,21 @@ def _residual_variance_np(mean, var, coeffs):
     return rv
 
 
-def _observed_moments(uns, X, n_obs, q, size_factor):
-    """Dispatch observed 1D moments: registry model or custom callable."""
+def _observed_moments(uns, X, n_obs, q, size_factor, mesh=None):
+    """Dispatch observed 1D moments: registry model or custom callable.
+
+    With ``mesh`` given, moments stream through the cell-sharded
+    data-parallel accumulator (``parallel.streaming``) instead of host
+    scipy — exact same sums, device-resident."""
     et = uns["estimator_type"]
     model = est.get_noise_model(et)
     if model is None:  # custom (fn_1d, fn_cov) tuple, reference-style call
         return et[0](data=X.tocsc(), n_obs=n_obs, q=q, size_factor=size_factor)
+    if mesh is not None:
+        from .parallel.streaming import stream_mean_var
+
+        m, v = stream_mean_var(mesh, X, size_factor, q, model)
+        return [m, v]
     if not model.relative:
         size_factor = np.ones(n_obs)
     m, v = est.mean_var_sparse(X, size_factor, q, model)
@@ -98,9 +107,14 @@ def setup_memento(
     shrinkage=0.5,
     num_bins=30,
     estimator_type="hyper_relative",
+    mesh=None,
 ):
     """Compute size factors and the overall mean-variance regressor
-    (ref ``main.py:26-91``)."""
+    (ref ``main.py:26-91``).
+
+    With ``mesh`` given (a ``jax.sharding.Mesh`` with a ``data`` axis), the
+    whole-dataset moment passes stream cell blocks through the sharded
+    data-parallel accumulator instead of host scipy."""
     if not inplace:
         adata = adata.copy()
 
@@ -121,8 +135,14 @@ def setup_memento(
                                     shrinkage=0.0)
 
     # residual variance over all cells with the naive factor (ref 62-68)
-    all_m, all_v = est.mean_var_sparse(adata.X, naive_sf, uns["all_q"],
-                                       "hyper_relative")
+    if mesh is not None:
+        from .parallel.streaming import stream_mean_var
+
+        all_m, all_v = stream_mean_var(mesh, adata.X, naive_sf,
+                                       uns["all_q"], est.HYPER_RELATIVE)
+    else:
+        all_m, all_v = est.mean_var_sparse(adata.X, naive_sf, uns["all_q"],
+                                           "hyper_relative")
     obs_mean = np.asarray(adata.X.mean(axis=0)).ravel()
     all_m = np.asarray(all_m).copy()
     all_m[obs_mean < filter_mean_thresh] = 0  # mean filter
@@ -156,7 +176,7 @@ def setup_memento(
     # final overall moments with the configured estimator (ref 85-91)
     uns["all_1d_moments"] = list(
         _observed_moments(uns, adata.X, adata.shape[0], uns["all_q"],
-                          size_factor)
+                          size_factor, mesh=mesh)
     )
     if not inplace:
         return adata
@@ -227,8 +247,11 @@ def get_groups(adata):
 
 
 def compute_1d_moments(adata, inplace=True, min_perc_group=0.7,
-                       filter_genes=True, gene_list=None):
-    """Mean / variance / residual variance per group (ref ``main.py:171-274``)."""
+                       filter_genes=True, gene_list=None, mesh=None):
+    """Mean / variance / residual variance per group (ref ``main.py:171-274``).
+
+    With ``mesh`` given, per-group observed moments stream through the
+    cell-sharded data-parallel accumulator."""
     assert "memento" in adata.uns
     if not inplace:
         adata = adata.copy()
@@ -245,6 +268,7 @@ def compute_1d_moments(adata, inplace=True, min_perc_group=0.7,
             uns["group_cells"][g].shape[0],
             uns["group_q"][g],
             uns["size_factor"][g],
+            mesh=mesh,
         )
         for g in groups
     }

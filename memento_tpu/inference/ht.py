@@ -91,6 +91,7 @@ def fill_invalid(key, vals, valid):
         "resample_rep",
         "boot_chunk",
         "custom_1d",
+        "sf_binned",
     ),
 )
 def ht_1d_tile(
@@ -117,8 +118,14 @@ def ht_1d_tile(
     resample_rep: bool = False,
     boot_chunk: int = 1024,
     custom_1d=None,
+    sf_binned: bool = False,
 ):
     """Differential mean/variability test for one tile of genes.
+
+    With ``sf_binned=True`` the size factors arrive in compact-transport
+    form: ``inv_sf`` carries uint8 bin ids and ``inv_sf_sq`` the per-group
+    ``[R, NB]`` reciprocal table (1 byte/slot over the wire instead of 4);
+    both are reconstructed here on device.
 
     Returns a dict with observed coefficients, bootstrap SEs, first-stage
     p-values, GEV-refinement flags, and the full coefficient matrices
@@ -128,8 +135,13 @@ def ht_1d_tile(
     # factors halve host->device bytes); compute is always f32
     values = values.astype(jnp.float32)
     counts = counts.astype(jnp.float32)
-    inv_sf = inv_sf.astype(jnp.float32)
-    inv_sf_sq = inv_sf_sq.astype(jnp.float32)
+    if sf_binned:
+        table = inv_sf_sq.astype(jnp.float32)  # [R, NB]
+        inv_sf = jax.vmap(jnp.take)(table, inv_sf.astype(jnp.int32))
+        inv_sf_sq = inv_sf * inv_sf
+    else:
+        inv_sf = inv_sf.astype(jnp.float32)
+        inv_sf_sq = inv_sf_sq.astype(jnp.float32)
 
     r, t, u_dim = values.shape
     b = num_boot
@@ -321,6 +333,7 @@ def _nanstd(x, axis=-1):
         "resample_rep",
         "boot_chunk",
         "custom_est",
+        "sf_binned",
     ),
 )
 def ht_2d_tile(
@@ -345,16 +358,24 @@ def ht_2d_tile(
     resample_rep: bool = False,
     boot_chunk: int = 1024,
     custom_est=None,  # (fn_1d, fn_cov) user estimators (reference custom API)
+    sf_binned: bool = False,
 ):
     """Differential-correlation test for one tile of gene pairs.
 
     Mirrors ``_ht_2d`` + ``_regress_2d`` (ref ``hypothesis_test.py:303-415``).
+    With ``sf_binned=True``, ``inv_sf`` carries uint8 bin ids and
+    ``inv_sf_sq`` the ``[R, NB]`` reciprocal table (see ``ht_1d_tile``).
     """
     values_1 = values_1.astype(jnp.float32)
     values_2 = values_2.astype(jnp.float32)
     counts = counts.astype(jnp.float32)
-    inv_sf = inv_sf.astype(jnp.float32)
-    inv_sf_sq = inv_sf_sq.astype(jnp.float32)
+    if sf_binned:
+        table = inv_sf_sq.astype(jnp.float32)  # [R, NB]
+        inv_sf = jax.vmap(jnp.take)(table, inv_sf.astype(jnp.int32))
+        inv_sf_sq = inv_sf * inv_sf
+    else:
+        inv_sf = inv_sf.astype(jnp.float32)
+        inv_sf_sq = inv_sf_sq.astype(jnp.float32)
 
     r, p, u_dim = values_1.shape
     b = num_boot
@@ -633,13 +654,11 @@ def run_ht_1d(
         sl = slice(start, stop)
         if compressed is not None:
             u = u_fixed
-            values = np.stack([_pad_axis(c.values[sl], u, 1) for c in compressed])
-            counts = np.stack([_pad_axis(c.counts[sl], u, 1) for c in compressed])
-            isf = np.stack([_pad_axis(c.inv_sf[sl], u, 1, 1.0) for c in compressed])
-            isf2 = np.stack(
-                [_pad_axis(c.inv_sf_sq[sl], u, 1, 1.0) for c in compressed]
-            )
-            nuq = np.stack([c.n_unique[sl] for c in compressed])
+            comps = compressed
+            values = np.stack([_pad_axis(c.values[sl], u, 1) for c in comps])
+            counts = np.stack([_pad_axis(c.counts[sl], u, 1) for c in comps])
+            nuq = np.stack([c.n_unique[sl] for c in comps])
+            csl = sl
         else:
             comps = [
                 compress_group(grp[:, start:stop], asf)
@@ -649,21 +668,40 @@ def run_ht_1d(
             u = _round_up(max(c.padded_u for c in comps), 64)
             values = np.stack([_pad_axis(c.values, u, 1) for c in comps])
             counts = np.stack([_pad_axis(c.counts, u, 1) for c in comps])
-            isf = np.stack([_pad_axis(c.inv_sf, u, 1, 1.0) for c in comps])
-            isf2 = np.stack([_pad_axis(c.inv_sf_sq, u, 1, 1.0) for c in comps])
             nuq = np.stack([c.n_unique for c in comps])
+            csl = slice(None)
+        binned = all(c.sf_bin is not None for c in comps)
+        if binned:
+            # compact transport: 1 uint8 bin id/slot + a tiny [R, NB] table
+            isf = np.stack(
+                [_pad_axis(c.sf_bin[csl], u, 1, 0) for c in comps]
+            ).astype(np.uint8)
+            nb = max(len(c.bin_inv_sf) for c in comps)
+            isf2 = np.stack(
+                [_pad_axis(c.bin_inv_sf, nb, 0, 1.0) for c in comps]
+            ).astype(np.float32)
+        else:
+            # quantized size factors tolerate f16 (30-bin approximations)
+            isf = np.stack(
+                [_pad_axis(c.inv_sf[csl], u, 1, 1.0) for c in comps]
+            )
+            isf2 = np.stack(
+                [_pad_axis(c.inv_sf_sq[csl], u, 1, 1.0) for c in comps]
+            )
         values = _pad_axis(values, t, 1)
-        # compact transport: expression values are small ints; quantized
-        # size factors tolerate f16 (they are 30-bin approximations already)
+        # compact transport: expression values are small ints
         if values.max(initial=0.0) < 32767:
             values = values.astype(np.int16)
-        return (
-            values,
-            _pad_axis(counts, t, 1),
-            _pad_axis(isf, t, 1, 1.0).astype(np.float16),
-            _pad_axis(isf2, t, 1, 1.0).astype(np.float16),
-            _pad_axis(nuq, t, 1),
-        )
+        counts = _pad_axis(counts, t, 1)
+        # multiplicities fit uint16 whenever every group is < 64k cells
+        if n_obs.max(initial=0.0) < 65535:
+            counts = counts.astype(np.uint16)
+        if binned:
+            isf = _pad_axis(isf, t, 1, 0)
+        else:
+            isf = _pad_axis(isf, t, 1, 1.0).astype(np.float16)
+            isf2 = _pad_axis(isf2, t, 1, 1.0).astype(np.float16)
+        return (values, counts, isf, isf2, _pad_axis(nuq, t, 1), binned)
 
     # launch every tile asynchronously, then harvest
     pending = []
@@ -672,7 +710,9 @@ def run_ht_1d(
         t = tile_size
         sl = slice(start, stop)
         with profiling.phase("ht1d.compress+pack"):
-            values, counts, isf, isf2, nuq = tile_inputs(start, stop, t)
+            values, counts, isf, isf2, nuq, binned = tile_inputs(
+                start, stop, t
+            )
         tile_sampler = _resolve_sampler(sampler, counts.shape[-1])
         if per_gene_treatment:
             treat_tile = _pad_axis(treatment[sl], t, 0)
@@ -697,7 +737,10 @@ def run_ht_1d(
         if mesh is not None:
             from ..parallel.sharded import HT1D_GENE_AXES, shard_ht_inputs
 
-            tile_args = shard_ht_inputs(mesh, tile_args, HT1D_GENE_AXES)
+            gene_axes = dict(HT1D_GENE_AXES)
+            if binned:  # inv_sf_sq is the [R, NB] table: no gene axis
+                gene_axes.pop(4, None)
+            tile_args = shard_ht_inputs(mesh, tile_args, gene_axes)
         res = ht_1d_tile(
             *tile_args,
             num_boot=num_boot,
@@ -709,6 +752,7 @@ def run_ht_1d(
             resample_rep=resample_rep,
             boot_chunk=min(boot_chunk, num_boot),
             custom_1d=custom_1d,
+            sf_binned=binned,
         )
         pending.append((start, stop, res))
         if verbose:
@@ -793,10 +837,7 @@ def run_ht_2d(
             v1 = np.stack([_pad_axis(c.values_1[sl], u, 1) for c in comps])
             v2 = np.stack([_pad_axis(c.values_2[sl], u, 1) for c in comps])
             cnt = np.stack([_pad_axis(c.counts[sl], u, 1) for c in comps])
-            isf = np.stack([_pad_axis(c.inv_sf[sl], u, 1, 1.0) for c in comps])
-            isf2 = np.stack(
-                [_pad_axis(c.inv_sf_sq[sl], u, 1, 1.0) for c in comps]
-            )
+            csl = sl
         else:
             comps = [
                 compress_pairs(grp, asf, idx1[sl], idx2[sl])
@@ -806,27 +847,44 @@ def run_ht_2d(
             v1 = np.stack([_pad_axis(c.values_1, u, 1) for c in comps])
             v2 = np.stack([_pad_axis(c.values_2, u, 1) for c in comps])
             cnt = np.stack([_pad_axis(c.counts, u, 1) for c in comps])
-            isf = np.stack([_pad_axis(c.inv_sf, u, 1, 1.0) for c in comps])
-            isf2 = np.stack([_pad_axis(c.inv_sf_sq, u, 1, 1.0) for c in comps])
+            csl = slice(None)
+        binned = all(c.sf_bin is not None for c in comps)
+        if binned:
+            isf = np.stack(
+                [_pad_axis(c.sf_bin[csl], u, 1, 0) for c in comps]
+            ).astype(np.uint8)
+            nb = max(len(c.bin_inv_sf) for c in comps)
+            isf2 = np.stack(
+                [_pad_axis(c.bin_inv_sf, nb, 0, 1.0) for c in comps]
+            ).astype(np.float32)
+        else:
+            isf = np.stack(
+                [_pad_axis(c.inv_sf[csl], u, 1, 1.0) for c in comps]
+            )
+            isf2 = np.stack(
+                [_pad_axis(c.inv_sf_sq[csl], u, 1, 1.0) for c in comps]
+            )
         v1 = _pad_axis(v1, t, 1)
         v2 = _pad_axis(v2, t, 1)
         if max(v1.max(initial=0.0), v2.max(initial=0.0)) < 32767:
             v1 = v1.astype(np.int16)
             v2 = v2.astype(np.int16)
-        return (
-            v1,
-            v2,
-            _pad_axis(cnt, t, 1),
-            _pad_axis(isf, t, 1, 1.0).astype(np.float16),
-            _pad_axis(isf2, t, 1, 1.0).astype(np.float16),
-        )
+        cnt = _pad_axis(cnt, t, 1)
+        if n_obs.max(initial=0.0) < 65535:
+            cnt = cnt.astype(np.uint16)
+        if binned:
+            isf = _pad_axis(isf, t, 1, 0)
+        else:
+            isf = _pad_axis(isf, t, 1, 1.0).astype(np.float16)
+            isf2 = _pad_axis(isf2, t, 1, 1.0).astype(np.float16)
+        return (v1, v2, cnt, isf, isf2, binned)
 
     pending = []
     for start in range(0, p, tile_size):
         stop = min(start + tile_size, p)
         t = tile_size
         sl = slice(start, stop)
-        v1, v2, cnt, isf, isf2 = tile_inputs(start, stop, t)
+        v1, v2, cnt, isf, isf2, binned = tile_inputs(start, stop, t)
         tile_sampler = _resolve_sampler(sampler, cnt.shape[-1])
         if per_pair_treatment:
             treat_tile = _pad_axis(treatment[sl], t, 0)
@@ -854,6 +912,7 @@ def run_ht_2d(
             resample_rep=resample_rep,
             boot_chunk=min(boot_chunk, num_boot),
             custom_est=custom_est,
+            sf_binned=binned,
         )
         pending.append((start, stop, res))
         if verbose:

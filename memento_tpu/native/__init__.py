@@ -72,7 +72,10 @@ def _compress_group_native(X, approx_sf, pad_multiple=8, min_u=8):
     values = np.zeros((n_genes, u_max), dtype=np.float32)
     counts = np.zeros((n_genes, u_max), dtype=np.float32)
     inv_sf = np.ones((n_genes, u_max), dtype=np.float32)
-    lib.pack_unique(
+    # compact-transport bin ids (0 = padding) when they fit uint8
+    with_bins = nbins + 1 <= 255 and hasattr(lib, "pack_unique_bins")
+    sf_bin = np.zeros((n_genes, u_max), dtype=np.uint8) if with_bins else None
+    common = (
         ctypes.c_int64(n_cells),
         ctypes.c_int64(n_genes),
         ctypes.c_int32(nbins),
@@ -86,6 +89,13 @@ def _compress_group_native(X, approx_sf, pad_multiple=8, min_u=8):
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         inv_sf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
+    if with_bins:
+        lib.pack_unique_bins(
+            *common,
+            sf_bin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+    else:
+        lib.pack_unique(*common)
     return CompressedGroup(
         values=values,
         counts=counts,
@@ -93,6 +103,9 @@ def _compress_group_native(X, approx_sf, pad_multiple=8, min_u=8):
         inv_sf_sq=(inv_sf * inv_sf).astype(np.float32),
         n_obs=n_cells,
         n_unique=n_unique,
+        sf_bin=sf_bin,
+        bin_inv_sf=np.concatenate([[1.0], 1.0 / binvals]).astype(np.float32)
+        if with_bins else None,
     )
 
 

@@ -84,11 +84,14 @@ void count_unique(int64_t n_cells, int64_t n_genes, int32_t nbins,
 }
 
 // Second pass: pack values/counts/inv_sf into padded [n_genes, u_max] tiles.
-void pack_unique(int64_t n_cells, int64_t n_genes, int32_t nbins,
-                 int64_t u_max, const int64_t* indptr, const int64_t* indices,
-                 const int64_t* data, const int32_t* bins,
-                 const double* bin_values, float* values, float* counts,
-                 float* inv_sf) {
+// sf_bin (optional, may be null): uint8 compact-transport ids, 0 = padding,
+// 1+b = size-factor bin b (bin_inv_sf[id] reconstructs inv_sf on device).
+void pack_unique_bins(int64_t n_cells, int64_t n_genes, int32_t nbins,
+                      int64_t u_max, const int64_t* indptr,
+                      const int64_t* indices, const int64_t* data,
+                      const int32_t* bins, const double* bin_values,
+                      float* values, float* counts, float* inv_sf,
+                      uint8_t* sf_bin) {
   std::vector<int64_t> bin_total(nbins, 0);
   for (int64_t c = 0; c < n_cells; ++c) bin_total[bins[c]]++;
 
@@ -113,6 +116,7 @@ void pack_unique(int64_t n_cells, int64_t n_genes, int32_t nbins,
       float* vrow = values + g * u_max;
       float* crow = counts + g * u_max;
       float* srow = inv_sf + g * u_max;
+      uint8_t* brow = sf_bin ? sf_bin + g * u_max : nullptr;
       int64_t slot = 0;
       // zero-expression combos
       for (int32_t b = 0; b < nbins; ++b) {
@@ -121,20 +125,33 @@ void pack_unique(int64_t n_cells, int64_t n_genes, int32_t nbins,
           vrow[slot] = 0.0f;
           crow[slot] = static_cast<float>(z);
           srow[slot] = static_cast<float>(1.0 / bin_values[b]);
+          if (brow) brow[slot] = static_cast<uint8_t>(b + 1);
           slot++;
         }
       }
       // nonzero combos in first-seen order
       for (int64_t code : h.touched) {
+        const int32_t b = static_cast<int32_t>(code % nbins);
         vrow[slot] = static_cast<float>(code / nbins);
         crow[slot] = static_cast<float>(h.hist[code]);
-        srow[slot] = static_cast<float>(1.0 / bin_values[code % nbins]);
+        srow[slot] = static_cast<float>(1.0 / bin_values[b]);
+        if (brow) brow[slot] = static_cast<uint8_t>(b + 1);
         slot++;
       }
       h.reset();
       // padding slots already initialized by the caller (counts 0, inv_sf 1)
     }
   }
+}
+
+// Back-compat entry point without the sf_bin output.
+void pack_unique(int64_t n_cells, int64_t n_genes, int32_t nbins,
+                 int64_t u_max, const int64_t* indptr, const int64_t* indices,
+                 const int64_t* data, const int32_t* bins,
+                 const double* bin_values, float* values, float* counts,
+                 float* inv_sf) {
+  pack_unique_bins(n_cells, n_genes, nbins, u_max, indptr, indices, data,
+                   bins, bin_values, values, counts, inv_sf, nullptr);
 }
 
 }  // extern "C"

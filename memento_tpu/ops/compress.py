@@ -50,6 +50,10 @@ class CompressedGroup:
       inv_sf_sq:  [G, U] float32, 1 / approx size factor^2.
       n_obs:      number of cells in the group.
       n_unique:   [G] int32, true combo count per gene before padding.
+      sf_bin:     optional [G, U] uint8 size-factor bin id per combo; with
+        ``bin_inv_sf`` ([NB] float32, ``bin_inv_sf[sf_bin] == inv_sf``) it is
+        the compact-transport form — 1 byte/slot instead of 4 (f16 x2) for
+        the two reciprocal arrays, reconstructed on device.
     """
 
     values: np.ndarray
@@ -58,6 +62,8 @@ class CompressedGroup:
     inv_sf_sq: np.ndarray
     n_obs: int
     n_unique: np.ndarray
+    sf_bin: np.ndarray = None
+    bin_inv_sf: np.ndarray = None
 
     @property
     def num_genes(self) -> int:
@@ -146,6 +152,8 @@ def _compress_group_numpy(X, approx_sf, pad_multiple, min_u) -> CompressedGroup:
     values = np.zeros((n_genes, u_max), dtype=np.float32)
     counts = np.zeros((n_genes, u_max), dtype=np.float32)
     sf = np.ones((n_genes, u_max), dtype=np.float64)
+    # compact-transport bin ids: 0 = padding (inv 1.0), 1+b = sf bin b
+    sf_bin = np.zeros((n_genes, u_max), dtype=np.uint8)
 
     # scatter zero combos at slots [0, n_z)
     zg, zb = np.nonzero(zcount > 0)  # zg ascending
@@ -153,6 +161,7 @@ def _compress_group_numpy(X, approx_sf, pad_multiple, min_u) -> CompressedGroup:
     zpos = np.arange(len(zg)) - zstart[zg]
     counts[zg, zpos] = zcount[zg, zb]
     sf[zg, zpos] = bin_values[zb]
+    sf_bin[zg, zpos] = (zb + 1).astype(np.uint8)
 
     # scatter nonzero combos at slots [n_z, n_z + n_nz)
     nstart = np.concatenate([[0], np.cumsum(n_nz)])
@@ -160,8 +169,15 @@ def _compress_group_numpy(X, approx_sf, pad_multiple, min_u) -> CompressedGroup:
     values[ug, npos] = uval.astype(np.float32)
     counts[ug, npos] = ucount.astype(np.float32)
     sf[ug, npos] = bin_values[ubin]
+    sf_bin[ug, npos] = (ubin + 1).astype(np.uint8)
 
     inv_sf = (1.0 / sf).astype(np.float32)
+    if nbins + 1 <= 255:  # uint8 id space (0 reserved for padding)
+        bin_inv_sf = np.concatenate(
+            [[1.0], 1.0 / bin_values]
+        ).astype(np.float32)
+    else:
+        sf_bin = bin_inv_sf = None
     return CompressedGroup(
         values=values,
         counts=counts,
@@ -169,6 +185,8 @@ def _compress_group_numpy(X, approx_sf, pad_multiple, min_u) -> CompressedGroup:
         inv_sf_sq=(inv_sf * inv_sf).astype(np.float32),
         n_obs=n_cells,
         n_unique=n_unique,
+        sf_bin=sf_bin,
+        bin_inv_sf=bin_inv_sf,
     )
 
 
@@ -191,6 +209,8 @@ class CompressedPairGroup:
     inv_sf_sq: np.ndarray
     n_obs: int
     n_unique: np.ndarray
+    sf_bin: np.ndarray = None  # [P, U] uint8 compact-transport ids (0 = pad)
+    bin_inv_sf: np.ndarray = None  # [NB] float32, bin_inv_sf[sf_bin]==inv_sf
 
 
 def compress_pairs(X_csc, approx_sf, idx1, idx2, pad_multiple: int = 8,
@@ -295,12 +315,14 @@ def _compress_pairs_vectorized(X_csc, approx_sf, idx1, idx2, pad_multiple,
     values_2 = np.zeros((n_pairs, u_max), dtype=np.float32)
     counts = np.zeros((n_pairs, u_max), dtype=np.float32)
     sf = np.ones((n_pairs, u_max), dtype=np.float64)
+    sf_bin = np.zeros((n_pairs, u_max), dtype=np.uint8)
 
     zg, zb = np.nonzero(zcount > 0)
     zstart = np.concatenate([[0], np.cumsum(n_z)])
     zpos = np.arange(len(zg)) - zstart[zg]
     counts[zg, zpos] = zcount[zg, zb]
     sf[zg, zpos] = bin_values[zb]
+    sf_bin[zg, zpos] = (zb + 1).astype(np.uint8)
 
     nstart = np.concatenate([[0], np.cumsum(n_nz)])
     npos = np.arange(len(up)) - nstart[up] + n_z[up]
@@ -308,8 +330,15 @@ def _compress_pairs_vectorized(X_csc, approx_sf, idx1, idx2, pad_multiple,
     values_2[up, npos] = uv2.astype(np.float32)
     counts[up, npos] = ucnt.astype(np.float32)
     sf[up, npos] = bin_values[ub]
+    sf_bin[up, npos] = (ub + 1).astype(np.uint8)
 
     inv_sf = (1.0 / sf).astype(np.float32)
+    if nbins + 1 <= 255:
+        bin_inv_sf = np.concatenate(
+            [[1.0], 1.0 / bin_values]
+        ).astype(np.float32)
+    else:
+        sf_bin = bin_inv_sf = None
     return CompressedPairGroup(
         values_1=values_1,
         values_2=values_2,
@@ -318,6 +347,8 @@ def _compress_pairs_vectorized(X_csc, approx_sf, idx1, idx2, pad_multiple,
         inv_sf_sq=(inv_sf * inv_sf).astype(np.float32),
         n_obs=n_cells,
         n_unique=n_unique,
+        sf_bin=sf_bin,
+        bin_inv_sf=bin_inv_sf,
     )
 
 
@@ -373,13 +404,21 @@ def _compress_pairs_loop(X_csc, approx_sf, idx1, idx2, pad_multiple,
     values_2 = np.zeros((n_pairs, u_max), dtype=np.float32)
     counts = np.zeros((n_pairs, u_max), dtype=np.float32)
     sf = np.ones((n_pairs, u_max), dtype=np.float64)
+    sf_bin = np.zeros((n_pairs, u_max), dtype=np.uint8)
     for p in range(n_pairs):
         u = nuniq[p]
         values_1[p, :u] = v1_list[p]
         values_2[p, :u] = v2_list[p]
         counts[p, :u] = cnt_list[p]
         sf[p, :u] = bin_values[bin_list[p]]
+        sf_bin[p, :u] = (np.asarray(bin_list[p]) + 1).astype(np.uint8)
     inv_sf = (1.0 / sf).astype(np.float32)
+    if nbins + 1 <= 255:
+        bin_inv_sf = np.concatenate(
+            [[1.0], 1.0 / bin_values]
+        ).astype(np.float32)
+    else:
+        sf_bin = bin_inv_sf = None
     return CompressedPairGroup(
         values_1=values_1,
         values_2=values_2,
@@ -388,6 +427,8 @@ def _compress_pairs_loop(X_csc, approx_sf, idx1, idx2, pad_multiple,
         inv_sf_sq=(inv_sf * inv_sf).astype(np.float32),
         n_obs=n_cells,
         n_unique=nuniq,
+        sf_bin=sf_bin,
+        bin_inv_sf=bin_inv_sf,
     )
 
 

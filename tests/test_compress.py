@@ -79,3 +79,63 @@ def test_bin_size_factor_max_kept(rng):
     assert approx[np.argmax(sf)] == sf.max()
     # bin means preserve overall mass approximately
     assert abs(approx.mean() - sf.mean()) < 0.05
+
+
+def test_sf_bin_compact_transport_reconstructs(rng):
+    """bin_inv_sf[sf_bin] must reconstruct inv_sf exactly (both backends)."""
+    from memento_tpu.ops.compress import compress_group
+    from memento_tpu.ops.size_factor import bin_size_factor
+    import scipy.sparse as sparse
+
+    X = sparse.random(300, 40, density=0.2, random_state=0, data_rvs=lambda n: rng.integers(1, 8, n))
+    sf = rng.random(300) + 0.5
+    asf = bin_size_factor(sf, 30)
+    for backend in ("numpy", "auto"):
+        comp = compress_group(X.tocsc(), asf, backend=backend)
+        assert comp.sf_bin is not None and comp.sf_bin.dtype == np.uint8
+        np.testing.assert_array_equal(
+            comp.bin_inv_sf[comp.sf_bin], comp.inv_sf
+        )
+        # padding slots carry id 0 (inv 1.0)
+        for g in range(comp.num_genes):
+            assert (comp.sf_bin[g, comp.n_unique[g]:] == 0).all()
+
+
+def test_sf_binned_tile_matches_float_transport(rng):
+    """ht_1d_tile(sf_binned=True) == the float-transport path bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    from memento_tpu.inference.ht import ht_1d_tile
+    from memento_tpu.ops.estimators import HYPER_RELATIVE
+
+    r, t, u, nb = 2, 8, 12, 5
+    table = (rng.random((r, nb)) + 0.5).astype(np.float32)
+    table[:, 0] = 1.0
+    ids = rng.integers(0, nb, size=(r, t, u)).astype(np.uint8)
+    inv_sf = np.take_along_axis(table[:, None, :].repeat(t, 1), ids.astype(int), axis=2)
+    values = rng.integers(0, 6, size=(r, t, u)).astype(np.float32)
+    counts = rng.integers(1, 30, size=(r, t, u)).astype(np.float32)
+    n_unique = np.full((r, t), u, np.int32)
+    true_mean = rng.random((r, t)).astype(np.float32) + 0.5
+    true_rv = rng.random((r, t)).astype(np.float32) + 0.5
+    mv = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (r, 1))
+    q = np.full(r, 0.1, np.float32)
+    n_obs = counts.sum(2).mean(1).astype(np.float32)
+    cov = np.ones((r, 1), np.float32)
+    tx = rng.integers(0, 2, size=(t, r, 1)).astype(np.float32)
+    static = dict(num_boot=32, model=HYPER_RELATIVE, sampler="multinomial",
+                  one_sample=False, resampling="bootstrap", approx=True,
+                  resample_rep=False, boot_chunk=32)
+    key = jax.random.key(3)
+    common = (jnp.asarray(n_unique), jnp.asarray(true_mean),
+              jnp.asarray(true_rv), jnp.asarray(mv), jnp.asarray(q),
+              jnp.asarray(n_obs), jnp.asarray(cov), jnp.asarray(tx))
+    ref = ht_1d_tile(key, jnp.asarray(values), jnp.asarray(counts),
+                     jnp.asarray(inv_sf), jnp.asarray(inv_sf * inv_sf),
+                     *common, **static)
+    got = ht_1d_tile(key, jnp.asarray(values), jnp.asarray(counts),
+                     jnp.asarray(ids), jnp.asarray(table),
+                     *common, sf_binned=True, **static)
+    for k in ["mean_coef", "mean_pval", "var_coef", "var_pval"]:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-6, equal_nan=True)

@@ -104,6 +104,43 @@ print('sharded ht ok')
     assert "sharded ht ok" in out
 
 
+def test_streaming_dp_moments_match_host():
+    """stream_mean_var (cell-block DP over 8 shards) == host scipy moments,
+    and the mesh-wired API setup produces the same state."""
+    out = _run(
+        """
+import numpy as np, pandas as pd, scipy.sparse as sparse
+from memento_tpu.ops.estimators import HYPER_RELATIVE, mean_var_sparse
+from memento_tpu.parallel.mesh import make_mesh
+from memento_tpu.parallel.streaming import stream_mean_var
+import memento_tpu as mt
+
+rng = np.random.default_rng(0)
+n, g = 700, 25  # n not divisible by block or shard counts
+X = sparse.csr_matrix(rng.poisson(0.8, size=(n, g)).astype(float))
+sf = np.asarray(X.sum(1)).ravel() + 1.0; sf /= sf.mean()
+mesh = make_mesh(shape=(8, 1))
+m, v = stream_mean_var(mesh, X, sf, 0.1, HYPER_RELATIVE, block=192)
+mr, vr = mean_var_sparse(X, sf, 0.1)
+np.testing.assert_allclose(m, mr, rtol=3e-4)
+np.testing.assert_allclose(v, vr, rtol=3e-3, atol=1e-5)
+
+obs = pd.DataFrame({"q": np.full(n, 0.1), "c": rng.integers(0, 2, n).astype(str)})
+ad1 = mt.AnnData(X.copy(), obs=obs.copy())
+ad2 = mt.AnnData(X.copy(), obs=obs.copy())
+mt.setup_memento(ad1, q_column="q", filter_mean_thresh=0.01)
+mt.setup_memento(ad2, q_column="q", filter_mean_thresh=0.01, mesh=mesh)
+for a, b in zip(ad1.uns["memento"]["all_1d_moments"],
+                ad2.uns["memento"]["all_1d_moments"]):
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
+mt.create_groups(ad2, label_columns=["c"])
+mt.compute_1d_moments(ad2, min_perc_group=0.5, mesh=mesh)
+print('streaming ok')
+"""
+    )
+    assert "streaming ok" in out
+
+
 def test_corr_matrix_sharded_matches_device():
     """2-D mesh-sharded G x G correlation == single-device blocked result."""
     out = _run(
