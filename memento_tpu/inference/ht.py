@@ -689,8 +689,11 @@ def run_ht_1d(
                 [_pad_axis(c.inv_sf_sq[csl], u, 1, 1.0) for c in comps]
             )
         values = _pad_axis(values, t, 1)
-        # compact transport: expression values are small ints
-        if values.max(initial=0.0) < 32767:
+        # compact transport: expression values are small ints (UMI counts)
+        vmax = values.max(initial=0.0)
+        if vmax < 127:
+            values = values.astype(np.int8)
+        elif vmax < 32767:
             values = values.astype(np.int16)
         counts = _pad_axis(counts, t, 1)
         # multiplicities fit uint16 whenever every group is < 64k cells
@@ -866,7 +869,11 @@ def run_ht_2d(
             )
         v1 = _pad_axis(v1, t, 1)
         v2 = _pad_axis(v2, t, 1)
-        if max(v1.max(initial=0.0), v2.max(initial=0.0)) < 32767:
+        vmax = max(v1.max(initial=0.0), v2.max(initial=0.0))
+        if vmax < 127:
+            v1 = v1.astype(np.int8)
+            v2 = v2.astype(np.int8)
+        elif vmax < 32767:
             v1 = v1.astype(np.int16)
             v2 = v2.astype(np.int16)
         cnt = _pad_axis(cnt, t, 1)

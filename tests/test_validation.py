@@ -167,3 +167,63 @@ def test_null_calibration_lambda_gc(rng):
     # gross uniformity: no more than 20% below 0.05
     assert (pv < 0.05).mean() < 0.2
     assert pv.mean() > 0.3
+
+
+def test_dc_power_planted_correlation_change(rng):
+    """Differential-correlation test detects a planted correlation change
+    (the reference's hypothesis_test_validation.ipynb DC criterion): genes
+    (0, 1) share a latent factor in condition 1 only; genes (2, 3) stay
+    independent in both conditions."""
+    import pandas as pd
+
+    import memento_tpu as mt
+
+    n, g, q = 1500, 40, 0.2
+    base = np.linspace(4.0, 10.0, g)
+
+    def one_group(cond, rep_seed):
+        grng = np.random.default_rng(rep_seed)
+        lam = grng.gamma(3.0, base / 3.0, size=(n, g))
+        if cond == 1:
+            # shared latent factor -> strong positive corr between 0 and 1
+            latent = grng.gamma(2.0, 0.5, size=n)
+            lam[:, 0] *= latent
+            lam[:, 1] *= latent
+        return grng.poisson(lam * q)
+
+    Xs, conds, reps = [], [], []
+    for rep in range(2):
+        for cond in (0, 1):
+            Xs.append(one_group(cond, 100 + 10 * rep + cond))
+            conds.append(np.full(n, cond))
+            reps.append(np.full(n, rep))
+    X = np.vstack(Xs)
+    obs = pd.DataFrame(
+        {
+            "condition": np.concatenate(conds).astype(str),
+            "replicate": np.concatenate(reps).astype(str),
+            "capture_q": np.full(X.shape[0], q),
+        }
+    )
+    adata = mt.AnnData(sparse.csr_matrix(X.astype(np.float64)), obs=obs)
+    mt.setup_memento(adata, q_column="capture_q", filter_mean_thresh=0.01,
+                     trim_percent=0.3)
+    mt.create_groups(adata, label_columns=["condition", "replicate"])
+    mt.compute_1d_moments(adata, min_perc_group=0.9)
+    genes = adata.var.index.tolist()
+    pairs = [("gene_0", "gene_1"), ("gene_10", "gene_11")]
+    assert all(a in genes and b in genes for a, b in pairs)
+    mt.compute_2d_moments(adata, gene_pairs=pairs)
+    gdf = mt.get_groups(adata)
+    covariate = pd.DataFrame(np.ones((len(gdf), 1)), index=gdf.index)
+    treatment = pd.DataFrame(
+        {"tx": gdf["condition"].astype(int).values}, index=gdf.index
+    )
+    mt.ht_2d_moments(adata, covariate=covariate, treatment=treatment,
+                     num_boot=400, resampling="bootstrap", seed=1)
+    res = mt.get_2d_ht_result(adata)
+    planted = res[(res.gene_1 == "gene_0") & (res.gene_2 == "gene_1")].iloc[0]
+    null = res[(res.gene_1 == "gene_10") & (res.gene_2 == "gene_11")].iloc[0]
+    assert planted.corr_coef > 0.15, planted
+    assert planted.corr_pval < 0.01, planted
+    assert null.corr_pval > 0.05, null
