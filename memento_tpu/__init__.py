@@ -30,6 +30,11 @@ from .api import (
 )
 from .containers import AnnData
 
+# reference-compat submodule aliases: analyses access ``memento.util.*`` and
+# ``memento.simulate.*`` (ref analysis/ scripts); expose the same paths.
+from . import util  # noqa: E402,F401
+from .models import simulate  # noqa: E402,F401
+
 __version__ = "0.1.0"
 
 __all__ = [

@@ -506,6 +506,8 @@ def ht_1d_moments(
     tile_size=None,
     boot_chunk=1024,
     seed=0,
+    checkpoint_dir=None,
+    checkpoint_block=4096,
     **kwargs,
 ):
     """Differential mean / variability testing (ref ``main.py:341-415``).
@@ -513,6 +515,13 @@ def ht_1d_moments(
     ``covariate`` and ``treatment`` are per-group (sample-level) DataFrames
     aligned to ``uns['memento']['groups']`` order; ``treatment_for_gene``
     optionally maps gene name -> subset of treatment columns (eQTL mode).
+
+    With ``checkpoint_dir`` given, genes run in ``checkpoint_block``-sized
+    blocks persisted as ``.npz``; a crashed run resumes at the first
+    unfinished block (the reference's production pattern at
+    ``analysis/lupus/run_memento.py:92-113`` made first-class).  Block
+    PRNG keys are derived from (seed, block start), so a resumed run is
+    identical to an uninterrupted one with the same block size.
     """
     if not inplace:
         adata = adata.copy()
@@ -531,28 +540,43 @@ def ht_1d_moments(
         treatment.values, dtype=np.float64
     )
 
-    res = run_ht_1d(
-        key=jax.random.key(seed),
-        # raw-group mode: per-tile compression pipelines with device work
-        groups=[uns["group_cells"][grp] for grp in groups],
-        approx_sf=[uns["approx_size_factor"][grp] for grp in groups],
-        true_mean=true_mean,
-        true_res_var=true_res_var,
-        mv_coeffs=mv_coeffs,
-        q=q,
-        covariate=np.asarray(covariate.values, dtype=np.float64),
-        treatment=treat_arg,
-        num_boot=num_boot,
-        model=model,
-        sampler=sampler,
-        resampling=resampling,
-        approx=approx,
-        resample_rep=resample_rep,
-        tile_size=tile_size,
-        boot_chunk=boot_chunk,
-        verbose=verbose > 1,
-        custom_1d=custom_1d,
-    )
+    def run_gene_block(start, stop):
+        sl = slice(start, stop)
+        full = start == 0 and stop == g  # avoid a full CSC copy
+        return run_ht_1d(
+            key=jax.random.fold_in(jax.random.key(seed), start),
+            groups=[
+                uns["group_cells"][grp] if full
+                else uns["group_cells"][grp][:, sl]
+                for grp in groups
+            ],
+            approx_sf=[uns["approx_size_factor"][grp] for grp in groups],
+            true_mean=true_mean[:, sl],
+            true_res_var=true_res_var[:, sl],
+            mv_coeffs=mv_coeffs,
+            q=q,
+            covariate=np.asarray(covariate.values, dtype=np.float64),
+            treatment=treat_arg[sl] if treat_arg.ndim == 3 else treat_arg,
+            num_boot=num_boot,
+            model=model,
+            sampler=sampler,
+            resampling=resampling,
+            approx=approx,
+            resample_rep=resample_rep,
+            tile_size=tile_size,
+            boot_chunk=boot_chunk,
+            verbose=verbose > 1,
+            custom_1d=custom_1d,
+        )
+
+    if checkpoint_dir is not None:
+        from .utils.blocks import run_blocks
+
+        res = run_blocks(g, checkpoint_block, run_gene_block,
+                         checkpoint_dir=checkpoint_dir, name="1d_ht",
+                         verbose=verbose > 0)
+    else:
+        res = run_gene_block(0, g)
 
     # scatter [G, Kt] results into flat per-test arrays (ref main.py:399-404)
     if treatment_for_gene is None:
@@ -602,9 +626,14 @@ def ht_2d_moments(
     tile_size=None,
     boot_chunk=1024,
     seed=0,
+    checkpoint_dir=None,
+    checkpoint_block=4096,
     **kwargs,
 ):
-    """Differential correlation testing (ref ``main.py:418-520``)."""
+    """Differential correlation testing (ref ``main.py:418-520``).
+
+    ``checkpoint_dir`` persists per-block results for crash resume (see
+    ``ht_1d_moments``); blocks run over the deduplicated pair list."""
     if not inplace:
         adata = adata.copy()
     uns = adata.uns["memento"]
@@ -668,27 +697,38 @@ def ht_2d_moments(
             treat_arg = np.asarray(treatment.values, dtype=np.float64)
             nt_per_pair_u = None
 
-        res = run_ht_2d(
-            key=jax.random.key(seed),
-            groups=[uns["group_cells"][grp] for grp in groups],
-            approx_sf=[uns["approx_size_factor"][grp] for grp in groups],
-            idx1=p_idx1,
-            idx2=p_idx2,
-            true_corr=true_corr,
-            q=q,
-            covariate=np.asarray(covariate.values, dtype=np.float64),
-            treatment=treat_arg,
-            num_boot=int(num_boot),
-            model=model,
-            sampler=sampler,
-            resampling=resampling,
-            approx=approx,
-            resample_rep=resample_rep,
-            tile_size=tile_size,
-            boot_chunk=boot_chunk,
-            verbose=verbose > 1,
-            custom_est=custom_est,
-        )
+        def run_pair_block(start, stop):
+            sl = slice(start, stop)
+            return run_ht_2d(
+                key=jax.random.fold_in(jax.random.key(seed), start),
+                groups=[uns["group_cells"][grp] for grp in groups],
+                approx_sf=[uns["approx_size_factor"][grp] for grp in groups],
+                idx1=p_idx1[sl],
+                idx2=p_idx2[sl],
+                true_corr=true_corr[:, sl],
+                q=q,
+                covariate=np.asarray(covariate.values, dtype=np.float64),
+                treatment=treat_arg[sl] if treat_arg.ndim == 3 else treat_arg,
+                num_boot=int(num_boot),
+                model=model,
+                sampler=sampler,
+                resampling=resampling,
+                approx=approx,
+                resample_rep=resample_rep,
+                tile_size=tile_size,
+                boot_chunk=boot_chunk,
+                verbose=verbose > 1,
+                custom_est=custom_est,
+            )
+
+        if checkpoint_dir is not None:
+            from .utils.blocks import run_blocks
+
+            res = run_blocks(len(uniq_pairs), checkpoint_block,
+                             run_pair_block, checkpoint_dir=checkpoint_dir,
+                             name="2d_ht", verbose=verbose > 0)
+        else:
+            res = run_pair_block(0, len(uniq_pairs))
 
         # broadcast each unique pair's result to all duplicates
         for u, (i1, i2, _) in enumerate(uniq_pairs):

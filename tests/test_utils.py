@@ -91,3 +91,64 @@ def test_concordance_perfect_and_shifted(rng):
     assert concordance(x, x) == pytest.approx(1.0)
     assert concordance(x, x + 2.0) < 0.5
     assert np.isnan(concordance(np.array([np.nan]), np.array([1.0])))
+
+
+def test_util_compat_shim():
+    """memento.util.* drop-in names resolve (reference analyses pattern)."""
+    import numpy as np
+
+    import memento_tpu as mt
+
+    fdr = mt.util._fdrcorrect(np.array([0.01, np.nan, 0.5]))
+    assert fdr.shape == (3,) and fdr[1] == 1.0
+    assert hasattr(mt.simulate, "capture_sampling")
+
+
+def test_ht_1d_checkpoint_resume(tmp_path):
+    """Checkpointed ht_1d_moments resumes from saved blocks with identical
+    results (and matches a fresh checkpointed run)."""
+    import numpy as np
+    import pandas as pd
+    import scipy.sparse as sparse
+
+    import memento_tpu as mt
+    from memento_tpu.models.simulate import simulate_two_groups
+
+    rng = np.random.default_rng(7)
+    X, cond, rep, qs = simulate_two_groups(
+        n_cells_per_group=250, n_genes=24, q=0.1,
+        de_genes=np.arange(2), de_lfc=0.8, n_replicates=1, rng=rng,
+    )
+    obs = pd.DataFrame({"condition": cond.astype(str), "capture_q": qs})
+
+    def setup():
+        ad = mt.AnnData(sparse.csr_matrix(X.astype(np.float64)), obs=obs.copy())
+        mt.setup_memento(ad, q_column="capture_q", filter_mean_thresh=0.01,
+                         trim_percent=0.3)
+        mt.create_groups(ad, label_columns=["condition"])
+        mt.compute_1d_moments(ad, min_perc_group=0.5)
+        return ad
+
+    kw = dict(num_boot=100, resampling="bootstrap", approx=True, seed=0,
+              checkpoint_block=8, verbose=0)
+    ad = setup()
+    gdf = mt.get_groups(ad)
+    cov = pd.DataFrame(np.ones((len(gdf), 1)), index=gdf.index)
+    tx = pd.DataFrame({"tx": gdf["condition"].astype(int).values},
+                      index=gdf.index)
+    ckpt = str(tmp_path / "ck")
+    mt.ht_1d_moments(ad, covariate=cov, treatment=tx, checkpoint_dir=ckpt, **kw)
+    first = mt.get_1d_ht_result(ad)
+
+    # simulate a crash: delete the LAST block, keep earlier ones, rerun
+    import os
+    blocks = sorted(os.listdir(ckpt))
+    assert len(blocks) >= 2
+    os.remove(os.path.join(ckpt, blocks[-1]))
+    ad2 = setup()
+    mt.ht_1d_moments(ad2, covariate=cov, treatment=tx, checkpoint_dir=ckpt, **kw)
+    second = mt.get_1d_ht_result(ad2)
+    np.testing.assert_allclose(first.de_coef.values, second.de_coef.values,
+                               equal_nan=True)
+    np.testing.assert_allclose(first.de_pval.values, second.de_pval.values,
+                               equal_nan=True)

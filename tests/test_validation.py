@@ -227,3 +227,47 @@ def test_dc_power_planted_correlation_change(rng):
     assert planted.corr_coef > 0.15, planted
     assert planted.corr_pval < 0.01, planted
     assert null.corr_pval > 0.05, null
+
+
+def test_power_increases_with_cells(rng):
+    """Power on a planted DE effect grows with cell count while the null
+    stays calibrated (the reference's power-vs-n_cells criterion,
+    ``analysis/simulation/hypothesis_test_validation.ipynb``)."""
+    import pandas as pd
+
+    import memento_tpu as mt
+    from memento_tpu.models.simulate import simulate_two_groups
+
+    planted = np.arange(6)
+
+    def detection_rate(n_cells, seed):
+        X, cond, rep, qs = simulate_two_groups(
+            n_cells_per_group=n_cells, n_genes=30, q=0.1,
+            de_genes=planted, de_lfc=0.4, n_replicates=1,
+            rng=np.random.default_rng(seed),
+        )
+        obs = pd.DataFrame({"condition": cond.astype(str), "capture_q": qs})
+        ad = mt.AnnData(sparse.csr_matrix(X.astype(np.float64)), obs=obs)
+        mt.setup_memento(ad, q_column="capture_q", filter_mean_thresh=0.01,
+                         trim_percent=0.3)
+        mt.create_groups(ad, label_columns=["condition"])
+        mt.compute_1d_moments(ad, min_perc_group=0.5)
+        gdf = mt.get_groups(ad)
+        cov = pd.DataFrame(np.ones((len(gdf), 1)), index=gdf.index)
+        tx = pd.DataFrame({"tx": gdf["condition"].astype(int).values},
+                          index=gdf.index)
+        mt.ht_1d_moments(ad, covariate=cov, treatment=tx, num_boot=200,
+                         resampling="bootstrap", approx=True, seed=3)
+        res = mt.get_1d_ht_result(ad)
+        names = [f"gene_{i}" for i in planted]
+        de = res[res.gene.isin(names)]
+        null = res[~res.gene.isin(names)]
+        power = (de.de_pval < 0.05).mean()
+        fpr = (null.de_pval.dropna() < 0.05).mean()
+        return power, fpr
+
+    p_small, f_small = detection_rate(100, 11)
+    p_large, f_large = detection_rate(2000, 12)
+    assert p_large >= p_small, (p_small, p_large)
+    assert p_large > 0.8, p_large
+    assert f_large < 0.25, f_large
