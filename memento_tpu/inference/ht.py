@@ -559,16 +559,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# The Pallas kernel statically unrolls the U bins; past this many bins its
-# compile time outweighs the run-time win and the rolled XLA scan is used.
-PALLAS_U_LIMIT = 256
+# The Pallas cascade chains 256-bin chunk launches through a lax.scan, so
+# any U compiles to ONE kernel; this cap only guards pathological inputs
+# where per-gene unique counts defeat compression entirely.
+PALLAS_U_LIMIT = 1 << 16
 
 
-def _resolve_sampler(sampler: str, u: int = 0) -> str:
-    """'auto' -> the Pallas fused kernel on real TPUs (for moderate U),
-    XLA cascade elsewhere (the Pallas PRNG is TPU-only; interpret mode
-    stubs it)."""
+def _resolve_sampler(sampler: str, u: int = 0, mesh=None) -> str:
+    """'auto' -> the Pallas fused kernel on real TPUs, XLA cascade elsewhere
+    (the Pallas PRNG is TPU-only; interpret mode stubs it).  With a mesh the
+    XLA cascade is used: GSPMD partitions the rolled scan from the input
+    shardings alone, while a pallas_call would need an explicit shard_map."""
     if sampler == "cascade_pallas" and u > PALLAS_U_LIMIT:
+        return "cascade"
+    if mesh is not None and sampler in ("auto", "cascade_pallas"):
         return "cascade"
     if sampler != "auto":
         return sampler
@@ -620,7 +624,7 @@ def run_ht_1d(
     """
     from ..ops.compress import compress_group
 
-    sampler = _resolve_sampler(sampler)
+    sampler = _resolve_sampler(sampler, mesh=mesh)
     if compressed is not None:
         r = len(compressed)
         u_fixed = max(c.padded_u for c in compressed)
@@ -716,7 +720,7 @@ def run_ht_1d(
             values, counts, isf, isf2, nuq, binned = tile_inputs(
                 start, stop, t
             )
-        tile_sampler = _resolve_sampler(sampler, counts.shape[-1])
+        tile_sampler = _resolve_sampler(sampler, counts.shape[-1], mesh=mesh)
         if per_gene_treatment:
             treat_tile = _pad_axis(treatment[sl], t, 0)
         else:

@@ -50,15 +50,22 @@ def _uniform_from_bits(bits):
     return jnp.maximum(u, 1e-7)
 
 
-def _cascade_kernel(seed_ref, n_ref, ratio_ref, lam_ref, ctail_ref, w_ref,
-                    out_ref, *, u_dim, w_dim, b_pad, tau):
-    """One (8-gene, b_pad-replicate) block: full cascade + accumulation."""
-    base_seed = seed_ref[0] + pl.program_id(0) * jnp.int32(1000003)
+def _cascade_chunk_kernel(seed_ref, off_ref, rem_in_ref, sums_in_ref,
+                          ratio_ref, lam_ref, ctail_ref, w_ref,
+                          rem_out_ref, sums_out_ref, *, u_dim, w_dim, b_pad,
+                          tau):
+    """One (8-gene, b_pad-replicate) block over one U-chunk of the cascade.
 
-    # per-gene-row trial counts (rows from different groups may differ)
-    remaining = jnp.broadcast_to(n_ref[:, 0].reshape(8, 1), (8, b_pad))
-    remaining = remaining.astype(jnp.float32)
-    sums = [jnp.zeros((8, b_pad), dtype=jnp.float32) for _ in range(w_dim)]
+    The carries (``remaining`` trials and the weighted sums) arrive as
+    inputs and leave as (aliased) outputs, so chunks of arbitrary-U genes
+    chain through a ``lax.scan`` — one compiled kernel serves every U.
+    ``off_ref`` holds the chunk's global bin offset (PRNG stream index).
+    """
+    base_seed = seed_ref[0] + pl.program_id(0) * jnp.int32(1000003)
+    off = off_ref[0]
+
+    remaining = rem_in_ref[:, :]
+    sums = [sums_in_ref[wi * 8 : (wi + 1) * 8, :] for wi in range(w_dim)]
 
     for u in range(u_dim):  # static unroll — see module docstring
         ratio = ratio_ref[:, u].reshape(8, 1)
@@ -68,7 +75,7 @@ def _cascade_kernel(seed_ref, n_ref, ratio_ref, lam_ref, ctail_ref, w_ref,
         # Reseed per bin and carve one wide draw into the three uniforms:
         # repeated identical prng_random_bits expressions get CSE'd by the
         # compiler (observed as perfectly correlated draws across bins).
-        pltpu.prng_seed(base_seed + jnp.int32(u))
+        pltpu.prng_seed(base_seed + off + jnp.int32(u))
         bits = pltpu.prng_random_bits((8, 3 * b_pad))
         u1 = _uniform_from_bits(bits[:, :b_pad])
         u2 = _uniform_from_bits(bits[:, b_pad : 2 * b_pad])
@@ -108,14 +115,33 @@ def _cascade_kernel(seed_ref, n_ref, ratio_ref, lam_ref, ctail_ref, w_ref,
             sums[wi] = sums[wi] + w_ref[:, u, wi].reshape(8, 1) * draws
         remaining = remaining - draws
 
+    rem_out_ref[:, :] = remaining
     for wi in range(w_dim):
-        out_ref[wi * 8 : (wi + 1) * 8, :] = sums[wi]
+        sums_out_ref[wi * 8 : (wi + 1) * 8, :] = sums[wi]
+
+
+# U bins processed per kernel launch: bounds the static unroll (compile
+# time) while amortizing the carry round-trip over 256 bins.
+PALLAS_CHUNK = 256
+
+# Replicate lanes per kernel launch.  The kernel's VMEM working set is
+# ~15 [8, b_pad] f32 buffers; past ~2048 lanes Mosaic starts spilling to
+# HBM and the kernel falls off a cliff (measured: B=10k one-shot is >100x
+# slower than 5 x B=2k).  Replicates are iid, so lane chunks just take
+# different PRNG streams.
+PALLAS_B_CHUNK = 2048
 
 
 @functools.partial(jax.jit, static_argnames=("num_boot", "interpret"))
 def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
                                 interpret: bool = False):
     """Pallas analog of ``fused_bootstrap_sums`` (cascade sampler only).
+
+    Genes of arbitrary U are supported: the cascade runs as a ``lax.scan``
+    over 256-bin chunks of one compiled kernel, with the per-replicate
+    ``remaining``-trials vector and the weighted sums carried between
+    launches (aliased in/out, so the carry round-trip costs one HBM pass
+    per 256 bins instead of per bin as in the XLA scan path).
 
     Args:
       counts: ``[T, U]`` multiplicities (2D — fold any batch dims first).
@@ -132,6 +158,22 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
     t_dim, u_dim = counts.shape
     w_dim = weights.shape[-1]
     b_pad = ((num_boot + 127) // 128) * 128
+    # large replicate counts run as independent lane chunks (iid draws on
+    # distinct PRNG streams) to keep the kernel's working set in VMEM
+    if b_pad > PALLAS_B_CHUNK:
+        n_bc = (b_pad + PALLAS_B_CHUNK - 1) // PALLAS_B_CHUNK
+        bc_keys = jax.random.split(key, n_bc)
+        chunks = jax.lax.map(
+            lambda k: fused_bootstrap_sums_pallas(
+                k, counts, weights, n_obs, PALLAS_B_CHUNK,
+                interpret=interpret,
+            ),
+            bc_keys,
+        )  # [n_bc, T, W, B_CHUNK]
+        out = jnp.moveaxis(chunks, 0, 2).reshape(
+            t_dim, w_dim, n_bc * PALLAS_B_CHUNK
+        )
+        return out[..., :num_boot]
     t_pad = ((t_dim + 7) // 8) * 8
 
     n_rows = jnp.broadcast_to(jnp.asarray(n_obs, jnp.float32), (t_dim,))
@@ -140,50 +182,86 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
         weights = jnp.pad(weights, ((0, t_pad - t_dim), (0, 0), (0, 0)))
         n_rows = jnp.pad(n_rows, (0, t_pad - t_dim), constant_values=1.0)
 
+    chunk = min(PALLAS_CHUNK, u_dim)
+    u_pad = ((u_dim + chunk - 1) // chunk) * chunk
+    if u_pad != u_dim:  # zero-count bins are inert (ratio 0 -> draws 0)
+        counts = jnp.pad(counts, ((0, 0), (0, u_pad - u_dim)))
+        weights = jnp.pad(weights, ((0, 0), (0, u_pad - u_dim), (0, 0)))
+    n_chunks = u_pad // chunk
+
+    # conditional-binomial parameters from the GLOBAL tail sums
     ctail = jnp.cumsum(counts[:, ::-1], axis=-1)[:, ::-1]
     ratio = jnp.where(ctail > 0, counts / jnp.maximum(ctail, 1.0), 0.0)
     ratio = jnp.clip(ratio, 0.0, 1.0)
     ratio = jnp.where((ctail > 0) & (counts >= ctail), 1.0, ratio)
 
     seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
-    n_arr = n_rows[:, None]  # [t_pad, 1]
 
     kernel = functools.partial(
-        _cascade_kernel,
-        u_dim=u_dim,
+        _cascade_chunk_kernel,
+        u_dim=chunk,
         w_dim=w_dim,
         b_pad=b_pad,
         tau=CASCADE_TAU,
     )
 
-    out = pl.pallas_call(
+    def to_chunks(x):  # [T, u_pad, ...] -> [n_chunks, T, chunk, ...]
+        shape = (x.shape[0], n_chunks, chunk) + x.shape[2:]
+        return jnp.moveaxis(x.reshape(shape), 1, 0)
+
+    xs = (
+        to_chunks(ratio),
+        to_chunks(counts),
+        to_chunks(ctail),
+        to_chunks(weights),
+        (jnp.arange(n_chunks, dtype=jnp.int32) * chunk),
+    )
+
+    rem0 = jnp.broadcast_to(n_rows[:, None], (t_pad, b_pad))
+    sums0 = jnp.zeros((t_pad * w_dim, b_pad), jnp.float32)
+
+    call = pl.pallas_call(
         kernel,
         grid=(t_pad // 8,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-            pl.BlockSpec((8, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),  # n per row
-            pl.BlockSpec((8, u_dim), lambda i: (i, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk bin offset
+            pl.BlockSpec((8, b_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # remaining (carry in)
+            pl.BlockSpec((8 * w_dim, b_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # sums (carry in)
+            pl.BlockSpec((8, chunk), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),  # ratio
-            pl.BlockSpec((8, u_dim), lambda i: (i, 0),
+            pl.BlockSpec((8, chunk), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),  # lam (counts)
-            pl.BlockSpec((8, u_dim), lambda i: (i, 0),
+            pl.BlockSpec((8, chunk), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),  # ctail
-            pl.BlockSpec((8, u_dim, w_dim), lambda i: (i, 0, 0),
+            pl.BlockSpec((8, chunk, w_dim), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # weights
         ],
-        out_specs=pl.BlockSpec((8 * w_dim, b_pad), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad * w_dim, b_pad), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((8, b_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * w_dim, b_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad * w_dim, b_pad), jnp.float32),
+        ],
+        input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
-    )(
-        seed[None],
-        n_arr,
-        ratio,
-        counts,
-        ctail,
-        weights,
     )
+
+    def step(carry, x):
+        rem, sums = carry
+        ratio_c, lam_c, ctail_c, w_c, off = x
+        rem, sums = call(seed[None], off[None], rem, sums, ratio_c, lam_c,
+                         ctail_c, w_c)
+        return (rem, sums), None
+
+    (rem_f, out), _ = jax.lax.scan(step, (rem0, sums0), xs)
+    del rem_f
     # [t_pad * W, b_pad] with per-program [8*W] rows -> [T, W, B]
     out = out.reshape(t_pad // 8, w_dim, 8, b_pad).transpose(0, 2, 1, 3)
     out = out.reshape(t_pad, w_dim, b_pad)

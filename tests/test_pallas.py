@@ -79,3 +79,47 @@ def test_pallas_matches_cascade_distribution(rng):
             sd = a[i, wi].std()
             assert abs(a[i, wi].mean() - b[i, wi].mean()) < 0.15 * sd + 1e-6
             assert abs(b[i, wi].std() / sd - 1) < 0.15
+
+
+def test_pallas_multichunk_interpret(rng, monkeypatch):
+    """U > chunk runs as chained chunk launches; totals still conserve
+    exactly across the carried remaining/sums.  (A tiny chunk keeps the
+    interpret-mode emulator fast; on hardware the chunk is 256.)"""
+    from memento_tpu.ops import pallas_kernels
+
+    monkeypatch.setattr(pallas_kernels, "PALLAS_CHUNK", 16)
+    n = 50000
+    t, u = 6, 40  # 3 chunks of 16 (padded)
+    counts = np.zeros((t, u), np.float32)
+    for i in range(t):
+        k = rng.integers(20, u)
+        small = rng.integers(1, 20, size=k - 1).astype(np.float32)
+        counts[i, 1:k] = small
+        counts[i, 0] = n - small.sum()
+    w = np.ones((t, u, 2), np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        sums = np.asarray(
+            fused_bootstrap_sums_pallas(jax.random.key(0), counts, w,
+                                        float(n), 70)
+        )
+    assert sums.shape == (t, 2, 70)
+    np.testing.assert_allclose(sums[:, 0, :], n, rtol=1e-5)
+    np.testing.assert_allclose(sums[:, 1, :], n, rtol=1e-5)
+
+
+def test_pallas_bchunk_interpret(rng, monkeypatch):
+    """B > PALLAS_B_CHUNK splits into iid lane chunks; totals conserve."""
+    from memento_tpu.ops import pallas_kernels
+
+    monkeypatch.setattr(pallas_kernels, "PALLAS_B_CHUNK", 128)
+    n = 9000
+    counts = _tile(rng, t=4, u=16, n=n)
+    w = np.ones((4, 16, 1), np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        sums = np.asarray(
+            pallas_kernels.fused_bootstrap_sums_pallas(
+                jax.random.key(0), counts, w, float(n), 300
+            )
+        )
+    assert sums.shape == (4, 1, 300)
+    np.testing.assert_allclose(sums[:, 0, :], n, rtol=1e-5)
