@@ -508,9 +508,13 @@ def ht_1d_moments(
     seed=0,
     checkpoint_dir=None,
     checkpoint_block=4096,
+    mesh=None,
     **kwargs,
 ):
     """Differential mean / variability testing (ref ``main.py:341-415``).
+
+    With ``mesh`` given (a ``jax.sharding.Mesh`` with a ``model`` axis), the
+    gene axis of every test tile is sharded over the mesh devices.
 
     ``covariate`` and ``treatment`` are per-group (sample-level) DataFrames
     aligned to ``uns['memento']['groups']`` order; ``treatment_for_gene``
@@ -567,6 +571,7 @@ def ht_1d_moments(
             boot_chunk=boot_chunk,
             verbose=verbose > 1,
             custom_1d=custom_1d,
+            mesh=mesh,
         )
 
     if checkpoint_dir is not None:
@@ -628,12 +633,16 @@ def ht_2d_moments(
     seed=0,
     checkpoint_dir=None,
     checkpoint_block=4096,
+    mesh=None,
     **kwargs,
 ):
     """Differential correlation testing (ref ``main.py:418-520``).
 
     ``checkpoint_dir`` persists per-block results for crash resume (see
-    ``ht_1d_moments``); blocks run over the deduplicated pair list."""
+    ``ht_1d_moments``); blocks run over the deduplicated pair list.  With
+    ``mesh`` given, each tile's pair axis is sharded over the mesh's
+    ``model`` axis (the reference fans pairs over the same worker pool as
+    genes, ref ``main.py:501``)."""
     if not inplace:
         adata = adata.copy()
     uns = adata.uns["memento"]
@@ -719,6 +728,7 @@ def ht_2d_moments(
                 boot_chunk=boot_chunk,
                 verbose=verbose > 1,
                 custom_est=custom_est,
+                mesh=mesh,
             )
 
         if checkpoint_dir is not None:

@@ -808,16 +808,23 @@ def run_ht_2d(
     idx1: Optional[np.ndarray] = None,  # [P] gene indices of each pair
     idx2: Optional[np.ndarray] = None,
     custom_est=None,  # (fn_1d, fn_cov) user estimators (reference custom API)
+    mesh=None,  # jax.sharding.Mesh with a 'model' axis: shard pairs over it
 ):
     """Run the 2D (differential correlation) test over all pairs.
 
     Like ``run_ht_1d``, supports pre-compressed pair tiles OR raw group
     matrices + pair index arrays with per-tile compression pipelined
     against async device launches.
+
+    With ``mesh`` given, each tile's pair axis is sharded over the mesh's
+    ``model`` axis — pair tests are independent, so this is communication-
+    free SPMD (the reference fans the 2D test over the same worker pool as
+    the 1D, ref ``main.py:501``); the tile size is rounded to a multiple of
+    the model-axis size.
     """
     from ..ops.compress import compress_pairs
 
-    sampler = _resolve_sampler(sampler)
+    sampler = _resolve_sampler(sampler, mesh=mesh)
     if compressed_pairs is not None:
         r = len(compressed_pairs)
         u_fixed = max(c.counts.shape[1] for c in compressed_pairs)
@@ -833,6 +840,9 @@ def run_ht_2d(
     one_sample = bool(np.all(treatment == 1))
     if tile_size is None:
         tile_size = min(default_tile_size(r, num_boot), _round_up(p, 64))
+    if mesh is not None:
+        n_model = mesh.shape.get("model", 1)
+        tile_size = _round_up(tile_size, n_model)
 
     out = {k: np.full((p, kt), np.nan) for k in ["corr_coef", "corr_se", "corr_pval"]}
 
@@ -896,13 +906,13 @@ def run_ht_2d(
         t = tile_size
         sl = slice(start, stop)
         v1, v2, cnt, isf, isf2, binned = tile_inputs(start, stop, t)
-        tile_sampler = _resolve_sampler(sampler, cnt.shape[-1])
+        tile_sampler = _resolve_sampler(sampler, cnt.shape[-1], mesh=mesh)
         if per_pair_treatment:
             treat_tile = _pad_axis(treatment[sl], t, 0)
         else:
             treat_tile = np.broadcast_to(treatment, (stop - start, r, kt))
             treat_tile = _pad_axis(treat_tile, t, 0)
-        res = ht_2d_tile(
+        tile_args = (
             fold_key(key, start),
             jnp.asarray(v1),
             jnp.asarray(v2),
@@ -914,6 +924,16 @@ def run_ht_2d(
             jnp.asarray(n_obs),
             jnp.asarray(covariate, dtype=jnp.float32),
             jnp.asarray(treat_tile, dtype=jnp.float32),
+        )
+        if mesh is not None:
+            from ..parallel.sharded import HT2D_PAIR_AXES, shard_ht_inputs
+
+            pair_axes = dict(HT2D_PAIR_AXES)
+            if binned:  # inv_sf_sq is the [R, NB] table: no pair axis
+                pair_axes.pop(5, None)
+            tile_args = shard_ht_inputs(mesh, tile_args, pair_axes)
+        res = ht_2d_tile(
+            *tile_args,
             num_boot=num_boot,
             model=model,
             sampler=tile_sampler,

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 shard_map = jax.shard_map
 
 from ..ops.estimators import NoiseModel, mean_var_from_suffstats, suffstats_dense
-from ..inference.ht import ht_1d_tile
+from ..inference.ht import ht_1d_tile, ht_2d_tile
 
 
 def dp_suffstats(mesh: Mesh, x_block, inv_sf, inv_sf_sq):
@@ -91,6 +91,13 @@ def shard_ht_inputs(mesh: Mesh, args: Tuple, gene_axis_of: dict):
 #   treatment[T,R,Kt]
 HT1D_GENE_AXES = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1, 12: 0}
 
+# pair-carrying axes of ht_2d_tile's positional args (the differential-
+# correlation test fans out over gene PAIRS exactly like the 1D test fans
+# out over genes — ref main.py:501 uses the same joblib pool for both):
+#   key, values_1[R,P,U], values_2[R,P,U], counts, inv_sf, inv_sf_sq,
+#   true_corr[R,P], q, n_obs, covariate, treatment[P,R,Kt]
+HT2D_PAIR_AXES = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 0}
+
 
 def sharded_ht_1d_tile(mesh: Mesh, *args, **static_kwargs):
     """Run ``ht_1d_tile`` with its gene axis sharded over the model axis.
@@ -102,6 +109,18 @@ def sharded_ht_1d_tile(mesh: Mesh, *args, **static_kwargs):
     """
     placed = shard_ht_inputs(mesh, args, HT1D_GENE_AXES)
     return ht_1d_tile(*placed, **static_kwargs)
+
+
+def sharded_ht_2d_tile(mesh: Mesh, *args, **static_kwargs):
+    """Run ``ht_2d_tile`` with its pair axis sharded over the model axis.
+
+    Pair tests are independent (communication-free SPMD), so GSPMD splits
+    the whole differential-correlation kernel from the input shardings
+    alone; the tile's pair dimension P must be divisible by the model-axis
+    size.
+    """
+    placed = shard_ht_inputs(mesh, args, HT2D_PAIR_AXES)
+    return ht_2d_tile(*placed, **static_kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -197,7 +216,9 @@ __all__ = [
     "dp_suffstats",
     "dp_mean_var",
     "sharded_ht_1d_tile",
+    "sharded_ht_2d_tile",
     "shard_ht_inputs",
     "HT1D_GENE_AXES",
+    "HT2D_PAIR_AXES",
     "corr_matrix_sharded",
 ]
