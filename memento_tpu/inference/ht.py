@@ -559,6 +559,36 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _value_dtype(vmax: float):
+    """Transport dtype for expression values, decided ONCE per run from the
+    global max so every tile hits one compiled executable (per-tile maxima
+    would flip int8/int16 mid-run and force XLA recompilations)."""
+    if vmax < 127:
+        return np.int8
+    if vmax < 32767:
+        return np.int16
+    return np.float32
+
+
+def _global_value_max(compressed, groups) -> float:
+    if compressed is not None:
+        return max(
+            (float(np.max(c.values, initial=0.0)) for c in compressed),
+            default=0.0,
+        )
+    return max((float(grp.max()) if grp.nnz else 0.0 for grp in groups),
+               default=0.0)
+
+
+# Bound on tiles launched but not yet harvested.  Each pending 1D result
+# pins two [T, Kt, B+1] f32 coefficient tensors on device (~80 MB at
+# T=512, B=10k), so launching every tile before harvesting any — as round 1
+# did — OOMs a 16 GB chip at the 20k-gene x B=10k north-star.  A window of
+# a few tiles keeps the device saturated (the host still compresses tile
+# t+K while the device runs tile t) with bounded memory.
+DEFAULT_MAX_PENDING = 3
+
+
 # The Pallas cascade chains 256-bin chunk launches through a lax.scan, so
 # any U compiles to ONE kernel; this cap only guards pathological inputs
 # where per-gene unique counts defeat compression entirely.
@@ -605,6 +635,7 @@ def run_ht_1d(
     approx_sf: Optional[Sequence] = None,  # list of [Nc_r] quantized factors
     custom_1d=None,  # user estimator fn (reference custom API)
     mesh=None,  # jax.sharding.Mesh with a 'model' axis: shard genes over it
+    max_pending: int = DEFAULT_MAX_PENDING,  # in-flight tile window
 ):
     """Run the 1D test over all genes, tiling the gene axis.
 
@@ -654,6 +685,9 @@ def run_ht_1d(
         for k in ["mean_coef", "mean_se", "mean_pval", "var_coef", "var_se", "var_pval"]
     }
 
+    vdtype = _value_dtype(_global_value_max(compressed, groups))
+    cdtype = np.uint16 if n_obs.max(initial=0.0) < 65535 else np.float32
+
     def tile_inputs(start, stop, t):
         sl = slice(start, stop)
         if compressed is not None:
@@ -692,17 +726,10 @@ def run_ht_1d(
             isf2 = np.stack(
                 [_pad_axis(c.inv_sf_sq[csl], u, 1, 1.0) for c in comps]
             )
-        values = _pad_axis(values, t, 1)
-        # compact transport: expression values are small ints (UMI counts)
-        vmax = values.max(initial=0.0)
-        if vmax < 127:
-            values = values.astype(np.int8)
-        elif vmax < 32767:
-            values = values.astype(np.int16)
-        counts = _pad_axis(counts, t, 1)
+        # compact transport: expression values are small ints (UMI counts);
         # multiplicities fit uint16 whenever every group is < 64k cells
-        if n_obs.max(initial=0.0) < 65535:
-            counts = counts.astype(np.uint16)
+        values = _pad_axis(values, t, 1).astype(vdtype)
+        counts = _pad_axis(counts, t, 1).astype(cdtype)
         if binned:
             isf = _pad_axis(isf, t, 1, 0)
         else:
@@ -710,7 +737,29 @@ def run_ht_1d(
             isf2 = _pad_axis(isf2, t, 1, 1.0).astype(np.float16)
         return (values, counts, isf, isf2, _pad_axis(nuq, t, 1), binned)
 
-    # launch every tile asynchronously, then harvest
+    def harvest(start, stop, res):
+        n = stop - start
+        sl = slice(start, stop)
+        for stat in ("mean", "var"):
+            coef = np.asarray(res[f"{stat}_coef"])[:n]
+            se = np.asarray(res[f"{stat}_se"])[:n]
+            pval = np.asarray(res[f"{stat}_pval"])[:n]
+            if not approx:
+                needs = np.asarray(res[f"{stat}_needs_gev"])[:n]
+                if needs.any():
+                    # gather only the flagged rows on device — transferring
+                    # the full [T, Kt, B+1] tensor would dominate wall time
+                    # on links like the TPU tunnel
+                    gi, gk = np.nonzero(needs)
+                    rows = np.asarray(res[f"{stat}_coef_full"][gi, gk])
+                    pval = _refine_rows(rows, gi, gk, pval, resampling)
+            out[f"{stat}_coef"][sl] = coef
+            out[f"{stat}_se"][sl] = se
+            out[f"{stat}_pval"][sl] = pval
+
+    # launch tiles asynchronously with a bounded in-flight window: harvest
+    # the oldest tile once >max_pending are outstanding so pinned device
+    # buffers stay O(window), not O(G/tile_size)
     pending = []
     for start in range(0, g, tile_size):
         stop = min(start + tile_size, g)
@@ -764,26 +813,11 @@ def run_ht_1d(
         pending.append((start, stop, res))
         if verbose:
             print(f"ht_1d: launched genes {stop}/{g}")
+        while len(pending) > max_pending:
+            harvest(*pending.pop(0))
 
-    for start, stop, res in pending:
-        n = stop - start
-        sl = slice(start, stop)
-        for stat in ("mean", "var"):
-            coef = np.asarray(res[f"{stat}_coef"])[:n]
-            se = np.asarray(res[f"{stat}_se"])[:n]
-            pval = np.asarray(res[f"{stat}_pval"])[:n]
-            if not approx:
-                needs = np.asarray(res[f"{stat}_needs_gev"])[:n]
-                if needs.any():
-                    # gather only the flagged rows on device — transferring
-                    # the full [T, Kt, B+1] tensor would dominate wall time
-                    # on links like the TPU tunnel
-                    gi, gk = np.nonzero(needs)
-                    rows = np.asarray(res[f"{stat}_coef_full"][gi, gk])
-                    pval = _refine_rows(rows, gi, gk, pval, resampling)
-            out[f"{stat}_coef"][sl] = coef
-            out[f"{stat}_se"][sl] = se
-            out[f"{stat}_pval"][sl] = pval
+    for item in pending:
+        harvest(*item)
     return out
 
 
@@ -809,6 +843,7 @@ def run_ht_2d(
     idx2: Optional[np.ndarray] = None,
     custom_est=None,  # (fn_1d, fn_cov) user estimators (reference custom API)
     mesh=None,  # jax.sharding.Mesh with a 'model' axis: shard pairs over it
+    max_pending: int = DEFAULT_MAX_PENDING,  # in-flight tile window
 ):
     """Run the 2D (differential correlation) test over all pairs.
 
@@ -846,6 +881,22 @@ def run_ht_2d(
 
     out = {k: np.full((p, kt), np.nan) for k in ["corr_coef", "corr_se", "corr_pval"]}
 
+    if compressed_pairs is not None:
+        vmax = max(
+            (
+                max(
+                    float(np.max(c.values_1, initial=0.0)),
+                    float(np.max(c.values_2, initial=0.0)),
+                )
+                for c in compressed_pairs
+            ),
+            default=0.0,
+        )
+    else:
+        vmax = _global_value_max(None, groups)
+    vdtype = _value_dtype(vmax)
+    cdtype = np.uint16 if n_obs.max(initial=0.0) < 65535 else np.float32
+
     def tile_inputs(start, stop, t):
         sl = slice(start, stop)
         if compressed_pairs is not None:
@@ -881,24 +932,31 @@ def run_ht_2d(
             isf2 = np.stack(
                 [_pad_axis(c.inv_sf_sq[csl], u, 1, 1.0) for c in comps]
             )
-        v1 = _pad_axis(v1, t, 1)
-        v2 = _pad_axis(v2, t, 1)
-        vmax = max(v1.max(initial=0.0), v2.max(initial=0.0))
-        if vmax < 127:
-            v1 = v1.astype(np.int8)
-            v2 = v2.astype(np.int8)
-        elif vmax < 32767:
-            v1 = v1.astype(np.int16)
-            v2 = v2.astype(np.int16)
-        cnt = _pad_axis(cnt, t, 1)
-        if n_obs.max(initial=0.0) < 65535:
-            cnt = cnt.astype(np.uint16)
+        v1 = _pad_axis(v1, t, 1).astype(vdtype)
+        v2 = _pad_axis(v2, t, 1).astype(vdtype)
+        cnt = _pad_axis(cnt, t, 1).astype(cdtype)
         if binned:
             isf = _pad_axis(isf, t, 1, 0)
         else:
             isf = _pad_axis(isf, t, 1, 1.0).astype(np.float16)
             isf2 = _pad_axis(isf2, t, 1, 1.0).astype(np.float16)
         return (v1, v2, cnt, isf, isf2, binned)
+
+    def harvest(start, stop, res):
+        n = stop - start
+        sl = slice(start, stop)
+        coef = np.asarray(res["corr_coef"])[:n]
+        se = np.asarray(res["corr_se"])[:n]
+        pval = np.asarray(res["corr_pval"])[:n]
+        if not approx:
+            needs = np.asarray(res["corr_needs_gev"])[:n]
+            if needs.any():
+                gi, gk = np.nonzero(needs)
+                rows = np.asarray(res["corr_coef_full"][gi, gk])
+                pval = _refine_rows(rows, gi, gk, pval, resampling)
+        out["corr_coef"][sl] = coef
+        out["corr_se"][sl] = se
+        out["corr_pval"][sl] = pval
 
     pending = []
     for start in range(0, p, tile_size):
@@ -948,22 +1006,11 @@ def run_ht_2d(
         pending.append((start, stop, res))
         if verbose:
             print(f"ht_2d: launched pairs {stop}/{p}")
+        while len(pending) > max_pending:
+            harvest(*pending.pop(0))
 
-    for start, stop, res in pending:
-        n = stop - start
-        sl = slice(start, stop)
-        coef = np.asarray(res["corr_coef"])[:n]
-        se = np.asarray(res["corr_se"])[:n]
-        pval = np.asarray(res["corr_pval"])[:n]
-        if not approx:
-            needs = np.asarray(res["corr_needs_gev"])[:n]
-            if needs.any():
-                gi, gk = np.nonzero(needs)
-                rows = np.asarray(res["corr_coef_full"][gi, gk])
-                pval = _refine_rows(rows, gi, gk, pval, resampling)
-        out["corr_coef"][sl] = coef
-        out["corr_se"][sl] = se
-        out["corr_pval"][sl] = pval
+    for item in pending:
+        harvest(*item)
     return out
 
 

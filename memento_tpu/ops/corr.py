@@ -101,11 +101,23 @@ def corr_matrix_device(X, size_factor, q, var, model: NoiseModel,
             jnp.asarray(1.0 / sf[start:stop] ** 2, jnp.float32),
             S, s1, sdiag,
         )
+    return finish_corr_host(S, s1, sdiag, var, n,
+                            float(np.asarray(model.var_correction(q))))
+
+
+def finish_corr_host(S, s1, sdiag, var, n, c):
+    """Gram statistics -> correlation matrix, in host float64.
+
+    The ``S/n - outer(m, m)`` subtraction is catastrophically cancelling in
+    f32 at large n, so both the single-device and the mesh-sharded paths
+    gather their (already-f32) Gram statistics and finish here
+    (ref ``estimator.py:256-268`` semantics: invalid variances or
+    out-of-range values -> NaN, values within +-1.05 clipped to [-1, 1]).
+    """
     S = np.asarray(S, dtype=np.float64)
     s1 = np.asarray(s1, dtype=np.float64)
     sdiag = np.asarray(sdiag, dtype=np.float64)
 
-    c = float(np.asarray(model.var_correction(q)))
     prod = S / n
     np.fill_diagonal(prod, np.diag(prod) - c * sdiag / n)
     cov = prod - np.outer(s1 / n, s1 / n)
@@ -120,4 +132,4 @@ def corr_matrix_device(X, size_factor, q, var, model: NoiseModel,
     return corr
 
 
-__all__ = ["cov_sparse_pairs", "corr_matrix_device"]
+__all__ = ["cov_sparse_pairs", "corr_matrix_device", "finish_corr_host"]

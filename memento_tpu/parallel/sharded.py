@@ -132,19 +132,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _corr_finish(S, s1, sdiag, var, n, c):
-    """cov -> corr with reference semantics (ref estimator.py:256-268),
-    elementwise over the sharded G x G tiles."""
-    prod = S / n - jnp.diag(c * sdiag / n)
-    cov = prod - jnp.outer(s1 / n, s1 / n)
-    var = jnp.where(var > 0, var, jnp.nan)
-    denom = jnp.sqrt(jnp.outer(var, var))
-    corr = cov / denom
-    corr = jnp.where(jnp.abs(corr) <= 1.05, jnp.clip(corr, -1.0, 1.0),
-                     jnp.nan)
-    return jnp.where(jnp.isfinite(denom), corr, jnp.nan)
-
-
 def corr_matrix_sharded(mesh: Mesh, X, size_factor, q, var, model,
                         block: int = 4096):
     """All-by-all G x G correlation with the output sharded 2-D over the mesh.
@@ -202,14 +189,20 @@ def corr_matrix_sharded(mesh: Mesh, X, size_factor, q, var, model,
             S, s1, sdiag,
         )
 
-    var_p = np.full(gp, np.nan, dtype=np.float32)
-    var_p[:g] = np.asarray(var, dtype=np.float32)
+    # Gather the f32 Gram statistics and finish on host in float64 — the
+    # G x G gather happens anyway (this function returns a numpy array), and
+    # the ``S/n - outer(m, m)`` cancellation needs f64, which devices without
+    # x64 mode cannot provide (see ``ops.corr.finish_corr_host``).
+    from ..ops.corr import finish_corr_host
+
     c = float(np.asarray(model.var_correction(q)))
-    corr = jax.jit(_corr_finish, static_argnums=(4, 5),
-                   out_shardings=sharding)(
-        S, s1, sdiag, jax.device_put(jnp.asarray(var_p), repl), float(n), c
+    corr = finish_corr_host(
+        np.asarray(S), np.asarray(s1), np.asarray(sdiag),
+        np.concatenate([np.asarray(var, np.float64),
+                        np.full(gp - g, np.nan)]),
+        float(n), c,
     )
-    return np.asarray(corr)[:g, :g]
+    return corr[:g, :g]
 
 
 __all__ = [
