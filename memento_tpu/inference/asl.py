@@ -119,7 +119,8 @@ def gev_refine(stat: float, null: np.ndarray, fallback: float) -> float:
 
 def refine_flagged(coef: np.ndarray, pvals: np.ndarray, needs: np.ndarray,
                    resampling: str) -> np.ndarray:
-    """Apply ``gev_refine`` to every flagged test.
+    """Apply GEV refinement to every flagged test (batched, see
+    ``inference.gev``).
 
     Args:
       coef: ``[..., B+1]`` host array of coefficients.
@@ -128,13 +129,18 @@ def refine_flagged(coef: np.ndarray, pvals: np.ndarray, needs: np.ndarray,
     Returns:
       refined p-values, same shape as ``pvals``.
     """
+    from .gev import gev_refine_batch
+
     out = pvals.copy()
-    flat_idx = np.argwhere(needs)
-    for idx in flat_idx:
-        row = coef[tuple(idx)]
-        stat = row[0]
-        null = row[1:] - (stat if resampling == "bootstrap" else 0.0)
-        out[tuple(idx)] = gev_refine(stat, null, out[tuple(idx)])
+    needs = np.asarray(needs, bool)
+    if not needs.any():
+        return out
+    rows = np.asarray(coef[needs], np.float64)
+    stats = rows[:, 0]
+    nulls = rows[:, 1:]
+    if resampling == "bootstrap":
+        nulls = nulls - stats[:, None]
+    out[needs] = gev_refine_batch(stats, nulls, out[needs])
     return out
 
 

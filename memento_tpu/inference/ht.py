@@ -524,20 +524,25 @@ def _refine_rows(rows: np.ndarray, gi, gk, pvals: np.ndarray,
                  resampling: str) -> np.ndarray:
     """Host GEV refinement for explicitly gathered coefficient rows.
 
+    All flagged rows refine in one vectorized batch (PWM-started batched
+    Nelder-Mead MLE + exact KS gate, ``inference.gev``): under the
+    alternative, thousands of tests flag (every strong hit has extreme
+    count <= 10), and the serial scipy loop this replaces ran ~100 ms/row
+    on the 2-core host.
+
     Args:
       rows: ``[n_flagged, B+1]`` coefficient rows (column 0 observed).
       gi, gk: row/col indices of each flagged test in ``pvals``.
     """
-    from .asl import gev_refine
+    from .gev import gev_refine_batch
 
     out = pvals.copy()
-    for r_idx in range(rows.shape[0]):
-        row = rows[r_idx]
-        stat = row[0]
-        null = row[1:] - (stat if resampling == "bootstrap" else 0.0)
-        out[gi[r_idx], gk[r_idx]] = gev_refine(
-            stat, null, out[gi[r_idx], gk[r_idx]]
-        )
+    rows = np.asarray(rows, np.float64)
+    stats = rows[:, 0]
+    nulls = rows[:, 1:]
+    if resampling == "bootstrap":
+        nulls = nulls - stats[:, None]
+    out[gi, gk] = gev_refine_batch(stats, nulls, out[gi, gk])
     return out
 
 
