@@ -58,14 +58,32 @@ def cov_sparse_pairs(X, size_factor, q, idx1, idx2, model: NoiseModel):
     return prod - s1[idx1] * s1[idx2]
 
 
-@functools.partial(jax.jit, donate_argnums=(3, 4, 5))
-def _gram_update(xb, inv_sf_b, inv_sf_sq_b, S, s1, sdiag):
-    """Accumulate one dense cell block into the Gram statistics."""
+def _kahan_add(acc, comp, update):
+    """One compensated-summation step: (acc, comp) += update.
+
+    Keeps the across-block accumulation error O(eps) instead of
+    O(n_blocks * eps) — the f32 Gram sums feed a cancelling
+    ``S/n - outer(m, m)`` subtraction downstream, so error growth over a
+    10^6-cell stream directly corrupts correlations.  (XLA does not apply
+    unsafe float reassociation, so the compensation survives compilation.)
+    """
+    y = update - comp
+    t = acc + y
+    comp = (t - acc) - y
+    return t, comp
+
+
+@functools.partial(jax.jit, donate_argnums=(3, 4, 5, 6, 7, 8))
+def _gram_update(xb, inv_sf_b, inv_sf_sq_b, S, s1, sdiag, cS, cs1, csdiag):
+    """Accumulate one dense cell block into the compensated Gram stats."""
     wx = xb * inv_sf_b[:, None]
-    S = S + jnp.dot(wx.T, wx, preferred_element_type=jnp.float32)
-    s1 = s1 + wx.sum(axis=0)
-    sdiag = sdiag + (inv_sf_sq_b[:, None] * xb).sum(axis=0)
-    return S, s1, sdiag
+    S, cS = _kahan_add(
+        S, cS, jnp.dot(wx.T, wx, preferred_element_type=jnp.float32)
+    )
+    s1, cs1 = _kahan_add(s1, cs1, wx.sum(axis=0))
+    sdiag, csdiag = _kahan_add(sdiag, csdiag,
+                               (inv_sf_sq_b[:, None] * xb).sum(axis=0))
+    return S, s1, sdiag, cS, cs1, csdiag
 
 
 def corr_matrix_device(X, size_factor, q, var, model: NoiseModel,
@@ -89,17 +107,20 @@ def corr_matrix_device(X, size_factor, q, var, model: NoiseModel,
     S = jnp.zeros((g, g), jnp.float32)
     s1 = jnp.zeros((g,), jnp.float32)
     sdiag = jnp.zeros((g,), jnp.float32)
+    cS = jnp.zeros((g, g), jnp.float32)
+    cs1 = jnp.zeros((g,), jnp.float32)
+    csdiag = jnp.zeros((g,), jnp.float32)
     issp = sparse.issparse(X)
     Xc = X.tocsr() if issp else np.asarray(X)
     for start in range(0, n, block):
         stop = min(start + block, n)
         xb = Xc[start:stop]
         xb = np.asarray(xb.todense()) if issp else xb
-        S, s1, sdiag = _gram_update(
+        S, s1, sdiag, cS, cs1, csdiag = _gram_update(
             jnp.asarray(xb, jnp.float32),
             jnp.asarray(1.0 / sf[start:stop], jnp.float32),
             jnp.asarray(1.0 / sf[start:stop] ** 2, jnp.float32),
-            S, s1, sdiag,
+            S, s1, sdiag, cS, cs1, csdiag,
         )
     return finish_corr_host(S, s1, sdiag, var, n,
                             float(np.asarray(model.var_correction(q))))

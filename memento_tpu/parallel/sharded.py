@@ -168,8 +168,13 @@ def corr_matrix_sharded(mesh: Mesh, X, size_factor, q, var, model,
     S = jax.jit(
         lambda: jnp.zeros((gp, gp), jnp.float32), out_shardings=sharding
     )()
+    cS = jax.jit(
+        lambda: jnp.zeros((gp, gp), jnp.float32), out_shardings=sharding
+    )()
     s1 = jax.device_put(jnp.zeros((gp,), jnp.float32), repl)
     sdiag = jax.device_put(jnp.zeros((gp,), jnp.float32), repl)
+    cs1 = jax.device_put(jnp.zeros((gp,), jnp.float32), repl)
+    csdiag = jax.device_put(jnp.zeros((gp,), jnp.float32), repl)
 
     sf = np.asarray(size_factor, dtype=np.float64)
     issp = sparse.issparse(X)
@@ -180,13 +185,13 @@ def corr_matrix_sharded(mesh: Mesh, X, size_factor, q, var, model,
         xb = np.asarray(xb.todense()) if issp else np.asarray(xb)
         if gp > g:
             xb = np.pad(xb, ((0, 0), (0, gp - g)))
-        S, s1, sdiag = _gram_update(
+        S, s1, sdiag, cS, cs1, csdiag = _gram_update(
             jax.device_put(jnp.asarray(xb, jnp.float32), repl),
             jax.device_put(jnp.asarray(1.0 / sf[start:stop], jnp.float32),
                            repl),
             jax.device_put(jnp.asarray(1.0 / sf[start:stop] ** 2,
                                        jnp.float32), repl),
-            S, s1, sdiag,
+            S, s1, sdiag, cS, cs1, csdiag,
         )
 
     # Gather the f32 Gram statistics and finish on host in float64 — the
