@@ -1,0 +1,169 @@
+"""Multi-host deployment scaffolding (SURVEY.md §2.2 "DCN between hosts").
+
+The reference is strictly single-node (joblib workers, ref
+``/root/reference/memento/main.py:397,501``); its production pattern for
+scale is manually sharding gene lists across invocations
+(``analysis/lupus/run_memento.py:92-109``).  This module provides the
+TPU-native multi-host story: one controller process per host
+(``initialize``), each host ingesting only its own row range of the cell
+matrix (``process_row_range``), local per-host device reductions, and a
+single cross-host sum over DCN (``allreduce_suffstats``) — sufficient
+statistics are plain sums, so the result is exactly the single-host answer.
+
+Verified end-to-end by ``tests/test_distributed.py`` with a real 2-process
+``jax.distributed`` launch (gloo collectives on CPU devices).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.estimators import NoiseModel, mean_var_from_suffstats
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None,
+               **kwargs) -> None:
+    """Join (or start) the multi-controller runtime.
+
+    Thin wrapper over ``jax.distributed.initialize``; on managed TPU pods
+    all three arguments are auto-detected and may be omitted.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+
+
+def process_row_range(n_rows: int,
+                      process_id: Optional[int] = None,
+                      num_processes: Optional[int] = None) -> Tuple[int, int]:
+    """Contiguous, balanced [start, stop) row range owned by this process.
+
+    Each host loads only ``X[start:stop]`` of the global cell matrix — the
+    input pipeline never materializes the full dataset on any one host.
+    """
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
+    base, rem = divmod(n_rows, nproc)
+    start = pid * base + min(pid, rem)
+    stop = start + base + (1 if pid < rem else 0)
+    return start, stop
+
+
+def local_data_mesh() -> Mesh:
+    """A per-host mesh over this process's addressable devices only.
+
+    Local reductions (cell blocks -> per-host partial sums) run here; only
+    the tiny ``[G]`` partials cross hosts afterwards, so the bulk of the
+    traffic stays on-host/ICI and DCN carries O(G) floats once.
+    """
+    return Mesh(np.array(jax.local_devices()), ("data",))
+
+
+def global_data_mesh() -> Mesh:
+    """A 1-D mesh over every device of every process (process-major)."""
+    return Mesh(np.array(jax.devices()), ("data",))
+
+
+def allreduce_hostsums(*partials: np.ndarray,
+                       precision: str = "high") -> Tuple[np.ndarray, ...]:
+    """Sum per-process host arrays across all processes (DCN collective).
+
+    Each process contributes one set of equally-shaped float64 arrays;
+    every process receives the global sums.  Implemented as a
+    process-sharded global array reduced with one jitted ``sum`` — XLA
+    lowers the cross-host part to a DCN all-reduce.
+
+    ``precision='high'`` reduces in float64 under ``jax.enable_x64`` (exact:
+    the moments match a single-host f64 run bit-for-bit up to summation
+    order); ``'fast'`` ships float32 with a hi/lo split that recovers the
+    per-process f64->f32 rounding (error ~#devices * 1e-7 relative) for
+    backends where f64 collectives are unavailable or slow.
+    """
+    mesh = global_data_mesh()
+    n_local = len(jax.local_devices())
+    sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    stacked = np.stack([np.asarray(p, np.float64) for p in partials])
+    k = stacked.shape[0]
+    # every local device carries partial/n_local so the device-axis sum
+    # telescopes to the per-process partial exactly once
+    if precision == "high":
+        with jax.enable_x64():
+            local_rows = np.repeat(stacked[None, ...] / n_local, n_local,
+                                   axis=0)
+            arr = jax.make_array_from_process_local_data(
+                sharding, local_rows.astype(np.float64)
+            )
+            summed = jax.jit(lambda a: a.sum(axis=0), out_shardings=repl)(arr)
+            out = np.asarray(summed, np.float64)
+    else:
+        # split each f64 partial into hi + lo f32 halves so the f32
+        # collective still recovers the pre-split f64 values
+        hi = np.float32(stacked)
+        lo = np.float32(stacked - hi)
+        local_rows = np.repeat(
+            np.concatenate([hi, lo], axis=0)[None, ...] / n_local, n_local,
+            axis=0,
+        )
+        arr = jax.make_array_from_process_local_data(
+            sharding, local_rows.astype(np.float32)
+        )
+        summed = jax.jit(lambda a: a.sum(axis=0), out_shardings=repl)(arr)
+        summed = np.asarray(summed, np.float64)
+        out = summed[:k] + summed[k:]
+    return tuple(out[i] for i in range(k))
+
+
+def stream_suffstats_multihost(X_local, size_factor_local,
+                               block: int = 8192,
+                               precision: str = "high"):
+    """Global per-gene sufficient statistics from per-host row ranges.
+
+    Args:
+      X_local: ``[N_local, G]`` this host's row range of the cell matrix
+        (see ``process_row_range``).
+      size_factor_local: ``[N_local]`` matching size factors.
+
+    Returns:
+      (s1, s2, s1sq): ``[G]`` float64 global sums, identical on every host.
+    """
+    from .streaming import stream_suffstats
+
+    mesh = local_data_mesh()
+    s1, s2, s1sq = stream_suffstats(mesh, X_local, size_factor_local,
+                                    block=block, precision=precision)
+    return allreduce_hostsums(s1, s2, s1sq, precision=precision)
+
+
+def stream_mean_var_multihost(X_local, size_factor_local, n_obs_global: int,
+                              q: float, model: NoiseModel,
+                              block: int = 8192, precision: str = "high"):
+    """Observed global moments from per-host row ranges (multi-host DP)."""
+    if not model.relative:
+        size_factor_local = np.ones(X_local.shape[0])
+    s1, s2, s1sq = stream_suffstats_multihost(
+        X_local, size_factor_local, block=block, precision=precision
+    )
+    m, v = mean_var_from_suffstats(s1, s2, s1sq, n_obs_global, q, model)
+    return np.asarray(m), np.asarray(v)
+
+
+__all__ = [
+    "initialize",
+    "process_row_range",
+    "local_data_mesh",
+    "global_data_mesh",
+    "allreduce_hostsums",
+    "stream_suffstats_multihost",
+    "stream_mean_var_multihost",
+]
