@@ -470,6 +470,25 @@ def _stack_group_arrays(uns, groups):
     return true_mean, true_res_var, mv_coeffs, q, nc
 
 
+def _ckpt_meta(uns, item_key, seed, num_boot, resampling, approx):
+    """Run fingerprint stored in checkpoint blocks: a resumed block from a
+    different dataset / item list / seed / bootstrap config raises instead
+    of silently misassigning results (blocks are keyed by index only)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(item_key.encode())
+    h.update(",".join(map(str, uns["groups"])).encode())
+    h.update(str([uns["group_cells"][g].shape for g in uns["groups"]]).encode())
+    return {
+        "seed": int(seed),
+        "num_boot": int(num_boot),
+        "resampling": str(resampling),
+        "approx": bool(approx),
+        "data": h.hexdigest()[:16],
+    }
+
+
 def _per_gene_treatment(treatment, treatment_for_gene, gene_names, n_groups):
     """Build the padded per-gene treatment tensor and per-gene test counts.
 
@@ -579,7 +598,9 @@ def ht_1d_moments(
 
         res = run_blocks(g, checkpoint_block, run_gene_block,
                          checkpoint_dir=checkpoint_dir, name="1d_ht",
-                         verbose=verbose > 0)
+                         verbose=verbose > 0,
+                         meta=_ckpt_meta(uns, ",".join(map(str, gene_names)),
+                                         seed, num_boot, resampling, approx))
     else:
         res = run_gene_block(0, g)
 
@@ -734,9 +755,12 @@ def ht_2d_moments(
         if checkpoint_dir is not None:
             from .utils.blocks import run_blocks
 
+            pair_key = ",".join(f"{a}:{b}" for a, b, _ in uniq_pairs)
             res = run_blocks(len(uniq_pairs), checkpoint_block,
                              run_pair_block, checkpoint_dir=checkpoint_dir,
-                             name="2d_ht", verbose=verbose > 0)
+                             name="2d_ht", verbose=verbose > 0,
+                             meta=_ckpt_meta(uns, pair_key, seed, num_boot,
+                                             resampling, approx))
         else:
             res = run_pair_block(0, len(uniq_pairs))
 

@@ -119,6 +119,7 @@ def ht_1d_tile(
     boot_chunk: int = 1024,
     custom_1d=None,
     sf_binned: bool = False,
+    one_sample_vec=None,  # [T] traced bool: per-gene one-sample (eQTL mode)
 ):
     """Differential mean/variability test for one tile of genes.
 
@@ -266,7 +267,7 @@ def ht_1d_tile(
 
     k_resample = fold_key(key, 2)
 
-    def regress_gene(stats_g, treat_g, w_g, k_g):
+    def regress_gene(stats_g, treat_g, w_g, k_g, os_g=None):
         return meta_regress(
             covariate,
             treat_g,
@@ -275,15 +276,24 @@ def ht_1d_tile(
             one_sample=one_sample,
             resample_rep=resample_rep,
             key=k_g,
+            one_sample_g=os_g,
         )
 
     gene_keys = jax.vmap(lambda i: fold_key(k_resample, i))(jnp.arange(t))
-    mean_coef = jax.vmap(regress_gene, in_axes=(1, 0, 1, 0))(
-        boot_mean, treatment, weights, gene_keys
-    )  # [T, Kt, B+1]
-    var_coef = jax.vmap(regress_gene, in_axes=(1, 0, 1, 0))(
-        boot_var, treatment, weights, gene_keys
-    )
+    if one_sample_vec is None:
+        mean_coef = jax.vmap(regress_gene, in_axes=(1, 0, 1, 0))(
+            boot_mean, treatment, weights, gene_keys
+        )  # [T, Kt, B+1]
+        var_coef = jax.vmap(regress_gene, in_axes=(1, 0, 1, 0))(
+            boot_var, treatment, weights, gene_keys
+        )
+    else:
+        mean_coef = jax.vmap(regress_gene, in_axes=(1, 0, 1, 0, 0))(
+            boot_mean, treatment, weights, gene_keys, one_sample_vec
+        )
+        var_coef = jax.vmap(regress_gene, in_axes=(1, 0, 1, 0, 0))(
+            boot_var, treatment, weights, gene_keys, one_sample_vec
+        )
 
     # ---- SE + first-stage ASL ----------------------------------------------
     def finish(coef):
@@ -359,6 +369,7 @@ def ht_2d_tile(
     boot_chunk: int = 1024,
     custom_est=None,  # (fn_1d, fn_cov) user estimators (reference custom API)
     sf_binned: bool = False,
+    one_sample_vec=None,  # [P] traced bool: per-pair one-sample (eQTL mode)
 ):
     """Differential-correlation test for one tile of gene pairs.
 
@@ -476,7 +487,7 @@ def ht_2d_tile(
     weights = jnp.where(good, n_obs[:, None].astype(jnp.float32), 0.0)
     k_resample = fold_key(key, 2)
 
-    def regress_pair(stats_g, treat_g, w_g, k_g):
+    def regress_pair(stats_g, treat_g, w_g, k_g, os_g=None):
         return meta_regress(
             covariate,
             treat_g,
@@ -485,12 +496,18 @@ def ht_2d_tile(
             one_sample=one_sample,
             resample_rep=resample_rep,
             key=k_g,
+            one_sample_g=os_g,
         )
 
     pair_keys = jax.vmap(lambda i: fold_key(k_resample, i))(jnp.arange(p))
-    corr_coef = jax.vmap(regress_pair, in_axes=(1, 0, 1, 0))(
-        boot_corr, treatment, weights, pair_keys
-    )  # [P, Kt, B+1]
+    if one_sample_vec is None:
+        corr_coef = jax.vmap(regress_pair, in_axes=(1, 0, 1, 0))(
+            boot_corr, treatment, weights, pair_keys
+        )  # [P, Kt, B+1]
+    else:
+        corr_coef = jax.vmap(regress_pair, in_axes=(1, 0, 1, 0, 0))(
+            boot_corr, treatment, weights, pair_keys, one_sample_vec
+        )
 
     corr_se = _nanstd(corr_coef[..., 1:])
     corr_pval, corr_needs = asl_counting(corr_coef, resampling, approx)
@@ -585,6 +602,30 @@ def _global_value_max(compressed, groups) -> float:
                default=0.0)
 
 
+def _one_sample_flags(treatment: np.ndarray, per_item: bool):
+    """Resolve one-sample semantics following the reference's per-worker
+    check (``(treatment == 1).mean() == 1`` on the gene's whole treatment
+    matrix, ref ``hypothesis_test.py:262``).
+
+    Returns:
+      (one_sample_static, per_item_vec): for shared 2-D treatments the check
+      is global (matches the reference exactly).  For per-gene 3-D
+      treatments (eQTL mode) each gene gets its own flag; zero-padded
+      columns (genes with fewer tests than the padded Kt) are ignored.
+      per_item_vec is None when every gene agrees (pure static paths).
+    """
+    if not per_item:
+        return bool(np.all(treatment == 1)), None
+    col_used = (treatment != 0).any(axis=1)  # [G, Kt]; False = padding
+    vec = np.all((treatment == 1) | ~col_used[:, None, :], axis=(1, 2)) \
+        & col_used.any(axis=1)
+    if vec.all():
+        return True, None
+    if not vec.any():
+        return False, None
+    return False, vec
+
+
 # Bound on tiles launched but not yet harvested.  Each pending 1D result
 # pins two [T, Kt, B+1] f32 coefficient tensors on device (~80 MB at
 # T=512, B=10k), so launching every tile before harvesting any — as round 1
@@ -677,7 +718,7 @@ def run_ht_1d(
 
     per_gene_treatment = treatment.ndim == 3
     kt = treatment.shape[-1]
-    one_sample = bool(np.all(treatment == 1))
+    one_sample, os_vec = _one_sample_flags(treatment, per_gene_treatment)
 
     if tile_size is None:
         tile_size = min(default_tile_size(r, num_boot), _round_up(g, 64))
@@ -795,6 +836,10 @@ def run_ht_1d(
             jnp.asarray(covariate, dtype=jnp.float32),
             jnp.asarray(treat_tile, dtype=jnp.float32),
         )
+        os_kw = {}
+        if os_vec is not None:
+            os_tile = jnp.asarray(_pad_axis(os_vec[sl], t, 0, False))
+            os_kw["one_sample_vec"] = os_tile
         if mesh is not None:
             from ..parallel.sharded import HT1D_GENE_AXES, shard_ht_inputs
 
@@ -802,8 +847,15 @@ def run_ht_1d(
             if binned:  # inv_sf_sq is the [R, NB] table: no gene axis
                 gene_axes.pop(4, None)
             tile_args = shard_ht_inputs(mesh, tile_args, gene_axes)
+            if os_vec is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                os_kw["one_sample_vec"] = jax.device_put(
+                    os_kw["one_sample_vec"], NamedSharding(mesh, P("model"))
+                )
         res = ht_1d_tile(
             *tile_args,
+            **os_kw,
             num_boot=num_boot,
             model=model,
             sampler=tile_sampler,
@@ -877,7 +929,7 @@ def run_ht_2d(
 
     per_pair_treatment = treatment.ndim == 3
     kt = treatment.shape[-1]
-    one_sample = bool(np.all(treatment == 1))
+    one_sample, os_vec = _one_sample_flags(treatment, per_pair_treatment)
     if tile_size is None:
         tile_size = min(default_tile_size(r, num_boot), _round_up(p, 64))
     if mesh is not None:
@@ -988,6 +1040,11 @@ def run_ht_2d(
             jnp.asarray(covariate, dtype=jnp.float32),
             jnp.asarray(treat_tile, dtype=jnp.float32),
         )
+        os_kw = {}
+        if os_vec is not None:
+            os_kw["one_sample_vec"] = jnp.asarray(
+                _pad_axis(os_vec[sl], t, 0, False)
+            )
         if mesh is not None:
             from ..parallel.sharded import HT2D_PAIR_AXES, shard_ht_inputs
 
@@ -995,6 +1052,12 @@ def run_ht_2d(
             if binned:  # inv_sf_sq is the [R, NB] table: no pair axis
                 pair_axes.pop(5, None)
             tile_args = shard_ht_inputs(mesh, tile_args, pair_axes)
+            if os_vec is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                os_kw["one_sample_vec"] = jax.device_put(
+                    os_kw["one_sample_vec"], NamedSharding(mesh, P("model"))
+                )
         res = ht_2d_tile(
             *tile_args,
             num_boot=num_boot,

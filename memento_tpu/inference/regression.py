@@ -105,7 +105,7 @@ def resampled_indices(key, num_rep: int, num_boot: int):
 
 
 def meta_regress(covariate, treatment, stats, weights, one_sample: bool,
-                 resample_rep: bool = False, key=None):
+                 resample_rep: bool = False, key=None, one_sample_g=None):
     """Full meta-regression for one gene: coefficients for every treatment
     column against every bootstrap column.
 
@@ -118,14 +118,22 @@ def meta_regress(covariate, treatment, stats, weights, one_sample: bool,
       stats: ``[R, B+1]`` statistic matrix; column 0 is the observed value.
       weights: ``[R]`` cell counts (0 = dropped group).
       one_sample: static flag — treatment identically 1 means the statistic
-        is the weighted average itself (ref ``hypothesis_test.py:262-265``).
+        is the weighted average itself (ref ``hypothesis_test.py:262-265``;
+        the reference checks the WHOLE per-gene treatment matrix, so this
+        is a per-gene property, not per-column).
       resample_rep: hierarchical bootstrap over replicate groups.
       key: PRNG key (required when resample_rep).
+      one_sample_g: optional traced scalar bool — per-gene one-sample flag
+        for eQTL-mode tiles mixing one-sample and regression genes (the
+        reference evaluates its check per worker call, ref
+        ``hypothesis_test.py:262``).  Both paths are computed and selected;
+        the one-sample statistic broadcasts across the Kt slots (the
+        reference emits a single row there).
 
     Returns:
       coef ``[Kt, B+1]`` (``[Kt, B]`` under resample_rep, column 0 observed).
     """
-    if one_sample:
+    if one_sample and one_sample_g is None:
         wsum = weights.sum() + _EPS
         avg = (weights[:, None] * stats).sum(0) / wsum
         return avg[None, :]
@@ -140,9 +148,16 @@ def meta_regress(covariate, treatment, stats, weights, one_sample: bool,
         stats_rs = stats_t[rep, it]  # [R, B]
         treat_rs = treat_t[rep]  # [R, B, Kt]
         w_rs = weights[rep]  # [R, B]
-        return cross_coef_resampled(treat_rs, stats_rs, w_rs)
+        coef = cross_coef_resampled(treat_rs, stats_rs, w_rs)
+    else:
+        coef = cross_coef(treat_t, stats_t, weights)
 
-    return cross_coef(treat_t, stats_t, weights)
+    if one_sample_g is not None:
+        wsum = weights.sum() + _EPS
+        avg = (weights[:, None] * stats).sum(0) / wsum  # [B+1]
+        avg = jnp.broadcast_to(avg[: coef.shape[-1]][None, :], coef.shape)
+        coef = jnp.where(one_sample_g, avg, coef)
+    return coef
 
 
 __all__ = [

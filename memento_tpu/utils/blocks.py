@@ -10,6 +10,7 @@ blocks on re-invocation — a crash resumes where it left off.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Callable, Dict, Optional
 
@@ -20,6 +21,20 @@ def _block_path(checkpoint_dir: str, name: str, idx: int) -> str:
     return os.path.join(checkpoint_dir, f"{name}_block{idx:05d}.npz")
 
 
+def _check_meta(path: str, saved: str, expected: dict) -> None:
+    got = json.loads(saved)
+    if got != expected:
+        diffs = sorted(
+            k for k in set(got) | set(expected) if got.get(k) != expected.get(k)
+        )
+        raise ValueError(
+            f"checkpoint {path} was written by a different run "
+            f"(mismatched: {diffs}). Resuming would silently misassign "
+            "results; delete the checkpoint dir (or call clear_checkpoints) "
+            "to recompute."
+        )
+
+
 def run_blocks(
     n_items: int,
     block_size: int,
@@ -27,6 +42,7 @@ def run_blocks(
     checkpoint_dir: Optional[str] = None,
     name: str = "ht",
     verbose: bool = False,
+    meta: Optional[dict] = None,
 ) -> Dict[str, np.ndarray]:
     """Run ``run_block(start, stop)`` over blocks with resume support.
 
@@ -37,6 +53,10 @@ def run_blocks(
         the block).
       checkpoint_dir: if given, each block is saved there and finished
         blocks are loaded instead of recomputed.
+      meta: JSON-serializable run fingerprint (seed, num_boot, item-list
+        hash, ...).  Saved inside every block; a resumed block whose saved
+        fingerprint differs raises instead of silently concatenating stale
+        results from a different run (blocks are keyed by index only).
 
     Returns:
       dict of concatenated arrays over all items.
@@ -44,20 +64,32 @@ def run_blocks(
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
 
+    full_meta = dict(meta or {})
+    full_meta["n_items"] = int(n_items)
+    full_meta["block_size"] = int(block_size)
+
     pieces = []
     for bi, start in enumerate(range(0, n_items, block_size)):
         stop = min(start + block_size, n_items)
+        block_meta = dict(full_meta, start=start, stop=stop)
         path = _block_path(checkpoint_dir, name, bi) if checkpoint_dir else None
         if path is not None and os.path.exists(path):
             with np.load(path) as z:
                 block = {k: z[k] for k in z.files}
+            saved = block.pop("__meta__", None)
+            if saved is None:
+                raise ValueError(
+                    f"checkpoint {path} has no run metadata (pre-r2 format); "
+                    "delete the checkpoint dir to recompute."
+                )
+            _check_meta(path, str(saved), block_meta)
             if verbose:
                 print(f"[blocks] resumed block {bi} ({start}:{stop})")
         else:
             block = run_block(start, stop)
             if path is not None:
                 tmp = path + ".tmp"
-                np.savez(tmp, **block)
+                np.savez(tmp, __meta__=json.dumps(block_meta), **block)
                 os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
                            path)
             if verbose:

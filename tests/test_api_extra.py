@@ -103,3 +103,57 @@ def test_exact_multinomial_api_parity(base):
     ok = np.isfinite(a.de_se) & np.isfinite(b.de_se) & (b.de_se > 0)
     ratio = (a.de_se[ok] / b.de_se[ok]).values
     assert np.median(np.abs(np.log(ratio))) < 0.15
+
+
+def test_per_gene_one_sample_mixed(base):
+    """eQTL-mode tiles mixing one-sample and regression genes follow the
+    reference's per-worker check (ref hypothesis_test.py:262): a gene whose
+    treatment subset is identically 1 gets the weighted-average statistic,
+    while other genes in the SAME tile get the regression coefficient."""
+    adata = base.copy()
+    cov, tx = _prep(adata)
+    genes = adata.var.index.tolist()
+    tx2 = tx.copy()
+    tx2["ones"] = 1.0
+    tfg = {g: ["ones"] if i % 3 == 0 else ["tx"]
+           for i, g in enumerate(genes)}
+    mt.ht_1d_moments(adata, covariate=cov, treatment=tx2,
+                     treatment_for_gene=tfg, num_boot=100, tile_size=16,
+                     resampling="bootstrap", seed=3)
+    res = mt.get_1d_ht_result(adata)
+    assert res.shape[0] == len(genes)
+
+    uns = adata.uns["memento"]
+    groups = uns["groups"]
+    nc = np.array([uns["group_cells"][g].shape[0] for g in groups],
+                  dtype=float)
+    tm = np.stack([uns["1d_moments"][g][0] for g in groups])
+
+    for i, g in enumerate(genes):
+        row = res[res.gene == g].iloc[0]
+        if i % 3 == 0:
+            # one-sample: coef == weighted average of log observed means
+            # over valid groups (weights = cell counts)
+            valid = np.isfinite(tm[:, i]) & (tm[:, i] > 0)
+            if not valid.any() or not np.isfinite(row.de_coef):
+                continue
+            expect = np.average(np.log(tm[valid, i]), weights=nc[valid])
+            np.testing.assert_allclose(row.de_coef, expect, rtol=1e-4)
+
+    # regression genes agree with an unmixed per-gene run
+    tfg_reg = {g: ["tx"] for g in genes}
+    adata2 = base.copy()
+    cov2, tx_2 = _prep(adata2)
+    tx_2b = tx_2.copy()
+    tx_2b["ones"] = 1.0
+    mt.ht_1d_moments(adata2, covariate=cov2, treatment=tx_2b,
+                     treatment_for_gene=tfg_reg, num_boot=100, tile_size=16,
+                     resampling="bootstrap", seed=3)
+    res2 = mt.get_1d_ht_result(adata2)
+    for i, g in enumerate(genes):
+        if i % 3 == 0:
+            continue
+        a = res[res.gene == g].iloc[0]
+        b = res2[res2.gene == g].iloc[0]
+        np.testing.assert_allclose(a.de_coef, b.de_coef, rtol=1e-5,
+                                   equal_nan=True)

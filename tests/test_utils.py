@@ -152,3 +152,26 @@ def test_ht_1d_checkpoint_resume(tmp_path):
                                equal_nan=True)
     np.testing.assert_allclose(first.de_pval.values, second.de_pval.values,
                                equal_nan=True)
+
+
+def test_run_blocks_meta_mismatch_raises(tmp_path):
+    """A resumed block from a different run config must raise, not silently
+    concatenate stale results (ADVICE r1: blocks are keyed by index only)."""
+    import pytest
+
+    def run_block(a, b):
+        return {"v": np.arange(a, b, dtype=float)}
+
+    run_blocks(10, 4, run_block, checkpoint_dir=str(tmp_path),
+               meta={"seed": 0, "num_boot": 100})
+    # same meta: resumes fine
+    run_blocks(10, 4, run_block, checkpoint_dir=str(tmp_path),
+               meta={"seed": 0, "num_boot": 100})
+    # different seed: must raise
+    with pytest.raises(ValueError, match="different run"):
+        run_blocks(10, 4, run_block, checkpoint_dir=str(tmp_path),
+                   meta={"seed": 1, "num_boot": 100})
+    # different block size: must raise (block index no longer aligns)
+    with pytest.raises(ValueError, match="different run"):
+        run_blocks(10, 5, run_block, checkpoint_dir=str(tmp_path),
+                   meta={"seed": 0, "num_boot": 100})

@@ -124,6 +124,54 @@ def test_bootstrap_fidelity_vs_true_bootstrap(rng):
     assert emd < 0.15, f"normalized EMD {emd} too high"
 
 
+def test_bootstrap_emd_num_bins_sweep(rng):
+    """EMD between the compressed bootstrap and a true cell-resampling
+    bootstrap (exact size factors) falls as num_bins grows and is small by
+    ~30 bins — the selection criterion of the reference's
+    bootstrap_validation.ipynb (sweeps 1..90, picks ~30-60)."""
+    from scipy.stats import wasserstein_distance
+
+    n, B = 2000, 1500
+    q = 0.1
+    x = rng.poisson(rng.gamma(2.0, 1.0, size=n))
+    sf = rng.random(n) * 2 + 0.3
+    sf = sf / sf.mean()
+
+    # gold standard: resample cells, exact size factors
+    means = np.empty(B)
+    for b in range(B):
+        idx = rng.integers(0, n, n)
+        xb, sb = x[idx], sf[idx]
+        means[b] = (xb / sb).mean()
+
+    model = get_noise_model("hyper_relative")
+    emd = {}
+    for nb in (1, 5, 30, 60):
+        approx_sf = bin_size_factor(sf, num_bins=nb)
+        X = sparse.csr_matrix(x.reshape(-1, 1).astype(np.float64))
+        comp = compress_group(X, approx_sf, backend="numpy")
+        bm, _ = bootstrap_1d(
+            jax.random.key(0),
+            jnp.asarray(comp.values),
+            jnp.asarray(comp.counts),
+            jnp.asarray(comp.inv_sf),
+            jnp.asarray(comp.inv_sf_sq),
+            comp.n_obs,
+            q,
+            model,
+            B,
+        )
+        emd[nb] = wasserstein_distance(np.asarray(bm)[0], means) / means.std()
+
+    # coarse binning is visibly worse; >=30 bins reproduce the true
+    # bootstrap within a small fraction of its spread and adding more bins
+    # no longer helps much (the flattening the reference observed)
+    assert emd[1] > 2 * emd[30], emd
+    assert emd[30] < 0.15, emd
+    assert emd[60] < 0.15, emd
+    assert emd[5] >= emd[30] * 0.5, emd
+
+
 def test_null_calibration_lambda_gc(rng):
     """Random group labels on null data -> uniform p-values, lambda_GC ~ 1
     (the reference's calibration.ipynb criterion)."""
