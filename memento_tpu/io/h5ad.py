@@ -3,17 +3,27 @@
 The reference operates on AnnData ``.h5ad`` files (tutorials load
 ``interferon_filtered.h5ad`` etc.); ``anndata`` is not available in this
 environment, so this module implements the format subset the pipeline
-needs: CSR/CSC/dense ``X``, ``obs``/``var`` dataframes with numeric, string
-and categorical columns, and basic nested ``uns``.
+needs: CSR/CSC/dense ``X``, ``obs``/``var`` dataframes with numeric, string,
+boolean and categorical columns, and nested ``uns`` holding scalars,
+arrays, string lists, DataFrames (the ``1d_ht``/``2d_ht`` results) and
+sparse matrices — a computed analysis round-trips through disk.
 
 Format notes (anndata >= 0.8 on-disk spec):
 - sparse X: group with ``data``/``indices``/``indptr`` and attrs
   ``encoding-type`` ('csr_matrix'/'csc_matrix') and ``shape``.
-- dataframes: group with attr ``_index`` naming the index dataset and
-  ``column-order``; categoricals are subgroups with ``categories``/``codes``.
+- dataframes: group with attrs ``encoding-type='dataframe'``, ``_index``
+  naming the index dataset, and ``column-order``.
+- categoricals: subgroup with ``categories``/``codes`` datasets and attrs
+  ``encoding-type='categorical'``, ``ordered``.
+
+Entries that cannot be represented (e.g. per-group sparse CSC slices keyed
+by frozenset, python callables) are dropped WITH a warning — the silent
+drops of round 1 meant a "saved" analysis could be missing its results.
 """
 
 from __future__ import annotations
+
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -34,7 +44,9 @@ def _read_series(node):
     if isinstance(node, h5py.Group):  # categorical
         cats = [_decode(c) for c in node["categories"][...]]
         codes = node["codes"][...]
-        return pd.Categorical.from_codes(codes, categories=cats)
+        ordered = bool(node.attrs.get("ordered", False))
+        return pd.Categorical.from_codes(codes, categories=cats,
+                                         ordered=ordered)
     arr = node[...]
     if arr.dtype.kind in ("S", "O"):
         return np.array([_decode(v) for v in arr])
@@ -78,13 +90,23 @@ def _read_uns(group):
     out = {}
     for k, v in group.items():
         if isinstance(v, h5py.Group):
-            out[k] = _read_uns(v)
+            enc = _decode(v.attrs.get("encoding-type", ""))
+            if enc in ("csr_matrix", "csc_matrix"):
+                out[k] = _read_x(v)
+            elif enc == "dataframe":
+                out[k] = _read_df(v)
+            elif enc == "categorical":
+                out[k] = np.asarray(_read_series(v))
+            else:
+                out[k] = _read_uns(v)
         else:
             val = v[...]
             if val.ndim == 0:
                 val = _decode(val.item())
-            elif val.dtype.kind in ("S", "O"):
+            elif val.dtype.kind in ("S", "O") and val.ndim == 1:
                 val = [_decode(x) for x in val]
+            elif val.dtype.kind in ("S", "O"):
+                val = np.char.decode(val.astype("S"), "utf-8")
             out[k] = val
     return out
 
@@ -101,92 +123,136 @@ def read_h5ad(path) -> AnnData:
     return AnnData(X, obs=obs, var=var, uns=uns)
 
 
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+
+def _write_categorical(group, name, values: pd.Categorical):
+    g = group.create_group(name)
+    g.attrs["encoding-type"] = "categorical"
+    g.attrs["encoding-version"] = "0.2.0"
+    g.attrs["ordered"] = bool(values.ordered)
+    g.create_dataset(
+        "categories",
+        data=np.array([str(c).encode() for c in values.categories], dtype="S"),
+    )
+    g.create_dataset("codes", data=np.asarray(values.codes, dtype=np.int32))
+
+
 def _write_series(group, name, values):
-    values = np.asarray(values)
-    if isinstance(values.dtype, pd.CategoricalDtype) or values.dtype.kind in (
-        "O",
-        "U",
+    if isinstance(values, pd.Categorical) or isinstance(
+        getattr(values, "dtype", None), pd.CategoricalDtype
     ):
-        strs = np.array([str(v) for v in values], dtype="S")
-        group.create_dataset(name, data=strs)
+        _write_categorical(group, name, pd.Categorical(values))
+        return
+    values = np.asarray(values)
+    if values.dtype.kind in ("O", "U"):
+        strs = np.array([str(v).encode() for v in values], dtype="S")
+        ds = group.create_dataset(name, data=strs)
+        ds.attrs["encoding-type"] = "string-array"
     else:
         group.create_dataset(name, data=values)
 
 
-def _write_df(f, name, df):
+def _write_df(f, name, df: pd.DataFrame):
     g = f.create_group(name)
+    g.attrs["encoding-type"] = "dataframe"
+    g.attrs["encoding-version"] = "0.2.0"
     g.attrs["_index"] = "_index"
     g.attrs["column-order"] = np.array(
-        [c.encode() for c in df.columns], dtype="S"
+        [str(c).encode() for c in df.columns], dtype="S"
     )
     _write_series(g, "_index", df.index.values.astype(str))
     for c in df.columns:
-        _write_series(g, c, df[c].values)
+        _write_series(g, str(c), df[c].values)
 
 
-def _write_uns(f, name, d):
+def _write_sparse(f, name, X):
+    X = X.tocsr() if not sparse.isspmatrix_csc(X) else X
+    g = f.create_group(name)
+    g.attrs["encoding-type"] = (
+        "csc_matrix" if sparse.isspmatrix_csc(X) else "csr_matrix"
+    )
+    g.attrs["encoding-version"] = "0.1.0"
+    g.attrs["shape"] = np.array(X.shape)
+    g.create_dataset("data", data=X.data)
+    g.create_dataset("indices", data=X.indices)
+    g.create_dataset("indptr", data=X.indptr)
+
+
+def _write_uns(f, name, d, path=""):
     g = f.create_group(name)
     for k, v in d.items():
-        k = str(k)
+        key = str(k)
+        kpath = f"{path}/{key}"
+        if not isinstance(k, str):
+            # e.g. frozenset treatment_for_gene keys in 2D eQTL mode
+            warnings.warn(
+                f"uns entry {kpath!r}: non-string key {k!r} stringified",
+                stacklevel=2,
+            )
         if isinstance(v, dict):
-            _write_uns(g, k, v)
+            _write_uns(g, key, v, kpath)
+        elif isinstance(v, pd.DataFrame):
+            _write_df(g, key, v)
+        elif sparse.issparse(v):
+            _write_sparse(g, key, v)
         elif isinstance(v, str):
-            g.create_dataset(k, data=np.bytes_(v))
-        elif isinstance(v, (list, tuple)) and v and isinstance(v[0], str):
-            g.create_dataset(k, data=np.array([s.encode() for s in v], dtype="S"))
+            g.create_dataset(key, data=np.bytes_(v))
+        elif isinstance(v, (list, tuple)) and all(
+            isinstance(x, str) for x in v
+        ):
+            g.create_dataset(
+                key, data=np.array([s.encode() for s in v], dtype="S")
+            )
+        elif isinstance(v, (bool, np.bool_)):
+            g.create_dataset(key, data=bool(v))
         elif np.isscalar(v):
-            g.create_dataset(k, data=v)
-        elif isinstance(v, np.ndarray):
-            g.create_dataset(k, data=v)
-        # silently skip unsupported objects (sparse slices etc.) — callers
-        # should run prepare_to_save/strip first, mirroring the reference's
-        # AnnData-writability contract (ref main.py:673-682)
+            g.create_dataset(key, data=v)
+        else:
+            arr = None
+            try:
+                arr = np.asarray(v)
+            except (ValueError, TypeError):
+                pass
+            if arr is not None and arr.dtype.kind in "ifub":
+                g.create_dataset(key, data=arr)
+            elif arr is not None and arr.dtype.kind in ("U", "S"):
+                g.create_dataset(
+                    key,
+                    data=np.array([str(x).encode() for x in arr.ravel()],
+                                  dtype="S").reshape(arr.shape),
+                )
+            else:
+                warnings.warn(
+                    f"uns entry {kpath!r} of type {type(v).__name__} cannot "
+                    "be written to h5ad and was dropped (run "
+                    "prepare_to_save / strip transient state first)",
+                    stacklevel=2,
+                )
 
 
 def write_h5ad(path, adata: AnnData, include_uns: bool = True):
-    """Write the lite AnnData container to .h5ad (spec subset)."""
+    """Write the lite AnnData container to .h5ad (spec subset).
+
+    Unsupported ``uns`` entries are dropped with a warning; DataFrames
+    (``1d_ht``/``2d_ht`` results), sparse matrices, categoricals, numeric /
+    string / bool arrays and nested dicts all round-trip.
+    """
     import h5py
 
     with h5py.File(path, "w") as f:
         X = adata.X
         if sparse.issparse(X):
-            X = X.tocsr()
-            g = f.create_group("X")
-            g.attrs["encoding-type"] = "csr_matrix"
-            g.attrs["shape"] = np.array(X.shape)
-            g.create_dataset("data", data=X.data)
-            g.create_dataset("indices", data=X.indices)
-            g.create_dataset("indptr", data=X.indptr)
+            _write_sparse(f, "X", X.tocsr())
         else:
-            f.create_dataset("X", data=np.asarray(X))
+            ds = f.create_dataset("X", data=np.asarray(X))
+            ds.attrs["encoding-type"] = "array"
         _write_df(f, "obs", adata.obs)
         _write_df(f, "var", adata.var)
         if include_uns:
-            _write_uns(f, "uns", _sanitize_uns(adata.uns))
-
-
-def _sanitize_uns(d):
-    """Drop entries that cannot be serialized (sparse group slices, device
-    arrays) — equivalent in spirit to the reference's prepare_to_save."""
-    out = {}
-    for k, v in d.items():
-        if isinstance(v, dict):
-            sub = _sanitize_uns(v)
-            if sub:
-                out[str(k)] = sub
-        elif isinstance(v, (str, int, float, np.integer, np.floating)):
-            out[str(k)] = v
-        elif isinstance(v, (list, tuple)):
-            if all(isinstance(x, str) for x in v):
-                out[str(k)] = list(v)
-            else:
-                try:
-                    out[str(k)] = np.asarray(v, dtype=float)
-                except (ValueError, TypeError):
-                    pass
-        elif isinstance(v, np.ndarray) and v.dtype.kind in "ifub":
-            out[str(k)] = v
-    return out
+            _write_uns(f, "uns", adata.uns)
 
 
 __all__ = ["read_h5ad", "write_h5ad"]
