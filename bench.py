@@ -1,4 +1,4 @@
-"""Benchmark: 1D hypothesis-test throughput on the reference's headline config.
+"""Benchmark: hypothesis-test throughput on the reference's headline config.
 
 Reference baseline (BASELINE.md): CPU memento runs the 1D differential-mean/
 variability test at 0.0446 s/gene on 200k cells with B=1000 bootstrap
@@ -6,13 +6,23 @@ replicates (permutation resampling, approximate p-values) on 1 CPU
 (`/root/reference/analysis/simulation/runtime/plots.ipynb`), i.e. ~22.4
 genes/s.
 
-This benchmark simulates the same scale (200k cells, 2 groups), runs the
-full pipeline — host compression + device bootstrap/regression/ASL — and
-reports end-to-end genes/s (excluding simulation data generation and the
-one-time jit compile, matching the reference's steady-state measurement).
+Three timed configs, one process:
+  1. HEADLINE — 1D HT, 200k cells x 1024 genes, B=1000 (the reference's
+     published runtime config).  Reported as the top-level metric.
+  2. B=10k    — 1D HT on a 256-gene slice at B=10,000 (the north-star
+     replicate count; the reference publishes no B=10k run).
+  3. 2D HT    — differential correlation on 512 gene pairs, B=1000 (the
+     reference fans 2D over the same worker pool; no published number, so
+     vs_baseline uses the 1D per-test cost as a conservative floor — the
+     reference's per-pair cost strictly exceeds its per-gene cost).
 
-Prints exactly ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": "genes/s", "vs_baseline": N}
+Every config reports best AND median of its reps (the TPU sits behind a
+relay tunnel whose throughput swings ~5x run-to-run; best = steady-state
+capability, median = what a queued job should expect).
+
+Prints exactly ONE JSON line on stdout; sub-metrics live in "extra":
+  {"metric": ..., "value": N, "unit": "genes/s", "vs_baseline": N,
+   "median_value": N, "extra": {...}}
 """
 
 import json
@@ -27,11 +37,27 @@ N_CELLS = int(os.environ.get("BENCH_CELLS", 200_000))
 N_GENES = int(os.environ.get("BENCH_GENES", 1024))
 NUM_BOOT = int(os.environ.get("BENCH_BOOT", 1000))
 TILE = int(os.environ.get("BENCH_TILE", 512))  # fixed tile: one compile, reused across pipelined tiles
+N_REPS = int(os.environ.get("BENCH_REPS", 3))
+# wall-clock budget: sub-benches are skipped once exceeded so a slow-tunnel
+# day still produces the headline number within the driver's patience
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", 3000))
+SKIP_EXTRA = os.environ.get("BENCH_SKIP_EXTRA", "") == "1"
+
+B10K_GENES = int(os.environ.get("BENCH_B10K_GENES", 256))
+B10K_BOOT = int(os.environ.get("BENCH_B10K_BOOT", 10_000))
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", 512))
+
 BASELINE_S_PER_GENE = 0.0446  # CPU memento @200k cells, B=1000 (BASELINE.md)
+
+_T0 = time.time()
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def over_deadline():
+    return time.time() - _T0 > DEADLINE_S
 
 
 def simulate(n_cells, n_genes, seed=0):
@@ -47,8 +73,36 @@ def simulate(n_cells, n_genes, seed=0):
     return sparse.vstack(blocks).tocsr()
 
 
+def timed_reps(fn, n_reps, label, per_unit, n_units):
+    """Warm (compile) once at a different seed, then time n_reps runs."""
+    log(f"[{label}] warmup/compile ...")
+    t = time.time()
+    fn(1)
+    log(f"[{label}] warmup done in {time.time() - t:.1f}s")
+    times = []
+    for rep in range(n_reps):
+        t = time.time()
+        fn(0)
+        e = time.time() - t
+        times.append(e)
+        log(f"[{label}] run {rep + 1}/{n_reps}: {e:.2f}s "
+            f"({n_units / e:.1f} {per_unit}/s)")
+        if over_deadline() and rep + 1 >= 1:
+            log(f"[{label}] deadline reached; stopping at {rep + 1} reps")
+            break
+    best = min(times)
+    median = float(np.median(times))
+    return {
+        "reps": len(times),
+        "times_s": [round(x, 3) for x in times],
+        "best_s": round(best, 3),
+        "median_s": round(median, 3),
+        f"best_{per_unit}_per_s": round(n_units / best, 2),
+        f"median_{per_unit}_per_s": round(n_units / median, 2),
+    }
+
+
 def main():
-    t0 = time.time()
     import jax
 
     # persistent compile cache (helps helper ops; the main executables are
@@ -60,13 +114,13 @@ def main():
     except Exception:
         pass
 
-    import memento_tpu as mt
-    from memento_tpu.inference.ht import run_ht_1d
-    from memento_tpu.ops.compress import compress_group
+    from memento_tpu.inference.ht import run_ht_1d, run_ht_2d
+    from memento_tpu.ops.corr import cov_sparse_pairs
     from memento_tpu.ops.estimators import get_noise_model, mean_var_sparse
     from memento_tpu.ops.mv_regression import fit_mv_regressor
-    from memento_tpu.api import _residual_variance_np
+    from memento_tpu.api import _corr_from_cov_np, _residual_variance_np
     from memento_tpu.ops.size_factor import bin_size_factor, estimate_size_factor
+    from memento_tpu.utils import profiling
 
     log(f"devices: {jax.devices()}")
     log(f"simulating {N_CELLS} cells x {N_GENES} genes ...")
@@ -96,65 +150,111 @@ def main():
 
     covariate = np.ones((2, 1))
     treatment = np.array([[0.0], [1.0]])
+    asf_groups = [approx_sf[offs[r]:offs[r + 1]] for r in range(2)]
 
-    def run(n_genes_sub, seed):
+    def run_1d(n_genes_sub, seed, num_boot, tile, boot_chunk=None):
         """Timed region: per-tile host compression pipelined with device HT
         (the reference's per-gene walltime likewise includes its per-worker
         _unique_expr)."""
         return run_ht_1d(
             key=jax.random.key(seed),
             groups=[g[:, :n_genes_sub] for g in groups],
-            approx_sf=[approx_sf[offs[r]:offs[r + 1]] for r in range(2)],
+            approx_sf=asf_groups,
             true_mean=true_mean[:, :n_genes_sub],
             true_res_var=true_res_var[:, :n_genes_sub],
             mv_coeffs=np.tile(mv, (2, 1)),
             q=np.full(2, q),
             covariate=covariate,
             treatment=treatment,
-            num_boot=NUM_BOOT,
+            num_boot=num_boot,
             model=model,
             sampler="auto",
             resampling="permutation",
             approx=True,
-            boot_chunk=NUM_BOOT,
-            tile_size=TILE,
+            boot_chunk=boot_chunk or num_boot,
+            tile_size=tile,
         )
 
-    # warmup at the exact timed shapes (different seed) so the timed region
-    # is steady-state execution, not compilation
-    log("warmup/compile ...")
-    t = time.time()
-    run(N_GENES, 1)
-    log(f"warmup done in {time.time()-t:.1f}s")
+    extra = {}
+    profiling.reset_timings()
 
-    # The TPU here sits behind a relay tunnel whose throughput swings ~5x
-    # between runs; report the best of N_REPS timed runs (steady-state
-    # capability, standard microbenchmark practice).
-    n_reps = int(os.environ.get("BENCH_REPS", 3))
-    elapsed = float("inf")
-    for rep in range(n_reps):
-        log(f"timed run {rep + 1}/{n_reps}: {N_GENES} genes, B={NUM_BOOT} ...")
-        t = time.time()
-        res = run(N_GENES, 0)
-        e = time.time() - t
-        log(f"  run {rep + 1}: {e:.2f}s ({N_GENES / e:.1f} genes/s)")
-        elapsed = min(elapsed, e)
-    genes_per_s = N_GENES / elapsed
-    log(
-        f"best {elapsed:.2f}s -> {genes_per_s:.1f} genes/s "
-        f"({elapsed/N_GENES*1000:.3f} ms/gene); "
-        f"finite pvals: {np.isfinite(res['mean_pval']).mean():.3f}; "
-        f"total walltime {time.time()-t0:.1f}s"
+    # ---- config 1: HEADLINE ------------------------------------------------
+    head = timed_reps(
+        lambda seed: run_1d(N_GENES, seed, NUM_BOOT, TILE),
+        N_REPS, f"1d B={NUM_BOOT}", "genes", N_GENES,
+    )
+    extra["ht_1d_B1000"] = head
+    extra["host_compress_s"] = round(
+        profiling.timings().get("ht1d.compress+pack", {}).get("total_s", 0.0), 2
     )
 
+    # ---- config 2: B=10k ---------------------------------------------------
+    if not SKIP_EXTRA and not over_deadline():
+        b10k = timed_reps(
+            lambda seed: run_1d(B10K_GENES, seed, B10K_BOOT, B10K_GENES,
+                                boot_chunk=B10K_BOOT),
+            max(2, N_REPS - 1), f"1d B={B10K_BOOT}", "genes", B10K_GENES,
+        )
+        b10k["ms_per_gene"] = round(b10k["best_s"] / B10K_GENES * 1000, 3)
+        extra[f"ht_1d_B{B10K_BOOT}_{B10K_GENES}g"] = b10k
+
+    # ---- config 3: 2D HT ---------------------------------------------------
+    if not SKIP_EXTRA and not over_deadline():
+        rng = np.random.default_rng(7)
+        idx1 = rng.integers(0, N_GENES, N_PAIRS)
+        idx2 = (idx1 + 1 + rng.integers(0, N_GENES - 1, N_PAIRS)) % N_GENES
+        true_corr = []
+        for r in range(2):
+            cov = cov_sparse_pairs(groups[r].tocsr(), sf[offs[r]:offs[r + 1]],
+                                   q, idx1, idx2, model)
+            true_corr.append(_corr_from_cov_np(
+                cov, true_var[r][idx1], true_var[r][idx2]))
+        true_corr = np.array(true_corr)
+
+        def run_2d(seed):
+            return run_ht_2d(
+                key=jax.random.key(seed),
+                groups=groups,
+                approx_sf=asf_groups,
+                idx1=idx1,
+                idx2=idx2,
+                true_corr=true_corr,
+                q=np.full(2, q),
+                covariate=covariate,
+                treatment=treatment,
+                num_boot=NUM_BOOT,
+                model=model,
+                sampler="auto",
+                resampling="permutation",
+                approx=True,
+                boot_chunk=NUM_BOOT,
+                tile_size=N_PAIRS,
+            )
+
+        d2 = timed_reps(run_2d, max(2, N_REPS - 1), "2d", "pairs", N_PAIRS)
+        # no published reference 2D number; the reference's per-pair cost
+        # strictly exceeds its 1D per-gene cost (joint compression, same
+        # worker fan-out), so the 1D baseline is a conservative floor
+        d2["vs_1d_baseline_floor"] = round(
+            d2["best_pairs_per_s"] * BASELINE_S_PER_GENE, 2)
+        extra[f"ht_2d_B{NUM_BOOT}_{N_PAIRS}p"] = d2
+
+    extra["total_bench_walltime_s"] = round(time.time() - _T0, 1)
+
     baseline = 1.0 / BASELINE_S_PER_GENE
+    best_rate = head["best_genes_per_s"]
+    median_rate = head["median_genes_per_s"]
+    log(profiling.report())
     print(
         json.dumps(
             {
                 "metric": "ht_1d_genes_per_s_200k_cells_B1000",
-                "value": round(genes_per_s, 2),
+                "value": best_rate,
                 "unit": "genes/s",
-                "vs_baseline": round(genes_per_s / baseline, 2),
+                "vs_baseline": round(best_rate / baseline, 2),
+                "median_value": median_rate,
+                "median_vs_baseline": round(median_rate / baseline, 2),
+                "extra": extra,
             }
         )
     )

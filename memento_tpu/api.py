@@ -588,7 +588,7 @@ def ht_1d_moments(
             resample_rep=resample_rep,
             tile_size=tile_size,
             boot_chunk=boot_chunk,
-            verbose=verbose > 1,
+            verbose=verbose > 0,
             custom_1d=custom_1d,
             mesh=mesh,
         )
@@ -747,7 +747,7 @@ def ht_2d_moments(
                 resample_rep=resample_rep,
                 tile_size=tile_size,
                 boot_chunk=boot_chunk,
-                verbose=verbose > 1,
+                verbose=verbose > 0,
                 custom_est=custom_est,
                 mesh=mesh,
             )

@@ -802,10 +802,13 @@ def run_ht_1d(
             out[f"{stat}_coef"][sl] = coef
             out[f"{stat}_se"][sl] = se
             out[f"{stat}_pval"][sl] = pval
+        progress.update(min(stop, g) - start)
 
     # launch tiles asynchronously with a bounded in-flight window: harvest
     # the oldest tile once >max_pending are outstanding so pinned device
     # buffers stay O(window), not O(G/tile_size)
+    progress = profiling.ProgressReporter(g, unit="genes", label="ht1d",
+                                          enabled=bool(verbose))
     pending = []
     for start in range(0, g, tile_size):
         stop = min(start + tile_size, g)
@@ -868,13 +871,12 @@ def run_ht_1d(
             sf_binned=binned,
         )
         pending.append((start, stop, res))
-        if verbose:
-            print(f"ht_1d: launched genes {stop}/{g}")
         while len(pending) > max_pending:
             harvest(*pending.pop(0))
 
     for item in pending:
         harvest(*item)
+    progress.close()
     return out
 
 
@@ -1014,7 +1016,10 @@ def run_ht_2d(
         out["corr_coef"][sl] = coef
         out["corr_se"][sl] = se
         out["corr_pval"][sl] = pval
+        progress.update(min(stop, p) - start)
 
+    progress = profiling.ProgressReporter(p, unit="pairs", label="ht2d",
+                                          enabled=bool(verbose))
     pending = []
     for start in range(0, p, tile_size):
         stop = min(start + tile_size, p)
@@ -1072,13 +1077,12 @@ def run_ht_2d(
             sf_binned=binned,
         )
         pending.append((start, stop, res))
-        if verbose:
-            print(f"ht_2d: launched pairs {stop}/{p}")
         while len(pending) > max_pending:
             harvest(*pending.pop(0))
 
     for item in pending:
         harvest(*item)
+    progress.close()
     return out
 
 

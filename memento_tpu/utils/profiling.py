@@ -74,6 +74,61 @@ def report(file=None) -> str:
     return text
 
 
+class ProgressReporter:
+    """Structured progress/throughput reporting for the tile orchestrators.
+
+    The reference's only progress signal is joblib's verbosity counter
+    (ref ``/root/reference/memento/main.py:385-393``); this reports items
+    completed, sustained throughput, and an ETA at a bounded print rate.
+    Lines go to stderr so they never pollute result streams.
+    """
+
+    def __init__(self, total: int, unit: str = "genes", label: str = "ht",
+                 every_s: float = 5.0, enabled: bool = True):
+        import sys
+
+        self.total = int(total)
+        self.unit = unit
+        self.label = label
+        self.every_s = every_s
+        self.enabled = enabled
+        self.done = 0
+        self._t0 = time.perf_counter()
+        self._last_print = self._t0
+        self._file = sys.stderr
+
+    def update(self, n: int) -> None:
+        """Record ``n`` more completed items; print at most every every_s."""
+        self.done += int(n)
+        if not self.enabled:
+            return
+        now = time.perf_counter()
+        if now - self._last_print < self.every_s and self.done < self.total:
+            return
+        self._last_print = now
+        elapsed = now - self._t0
+        rate = self.done / elapsed if elapsed > 0 else float("inf")
+        eta = (self.total - self.done) / rate if rate > 0 else float("inf")
+        print(
+            f"[{self.label}] {self.done}/{self.total} {self.unit} | "
+            f"{rate:.1f} {self.unit}/s | elapsed {elapsed:.1f}s | "
+            f"ETA {eta:.0f}s",
+            file=self._file, flush=True,
+        )
+
+    def close(self) -> dict:
+        """Final summary line; returns {elapsed_s, rate} for callers."""
+        elapsed = time.perf_counter() - self._t0
+        rate = self.done / elapsed if elapsed > 0 else 0.0
+        if self.enabled and self.done:
+            print(
+                f"[{self.label}] done: {self.done} {self.unit} in "
+                f"{elapsed:.1f}s ({rate:.1f} {self.unit}/s)",
+                file=self._file, flush=True,
+            )
+        return {"elapsed_s": elapsed, "rate": rate, "n": self.done}
+
+
 @contextlib.contextmanager
 def device_trace(logdir: Optional[str] = None):
     """Wrap a region in the JAX device profiler (TensorBoard trace) when a
@@ -91,4 +146,4 @@ def device_trace(logdir: Optional[str] = None):
 
 
 __all__ = ["phase", "sync_pull", "timings", "reset_timings", "report",
-           "device_trace"]
+           "ProgressReporter", "device_trace"]
