@@ -319,3 +319,73 @@ def test_power_increases_with_cells(rng):
     assert p_large >= p_small, (p_small, p_large)
     assert p_large > 0.8, p_large
     assert f_large < 0.25, f_large
+
+
+def test_dv_inflation_matches_oracle(rng):
+    """The DV null inflation at >2 pooled groups is the METHOD's, not this
+    implementation's: on the same shuffled-label null data the framework's
+    DV p-values and the clean-room numpy oracle's agree in lambda_GC and
+    tail mass (``examples/dv_calibration.py`` runs the full-size version;
+    ref ``analysis/simulation/calibration.ipynb`` publishes a numeric
+    lambda only for the mean test)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "dv_calibration",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "dv_calibration.py"),
+    )
+    dv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dv)
+
+    from memento_tpu.inference.ht import run_ht_1d
+    from memento_tpu.ops.estimators import HYPER_RELATIVE
+    from memento_tpu.ops.mv_regression import fit_mv_regressor
+    from memento_tpu.api import _residual_variance_np
+
+    R, n, g, B = 4, 2500, 320, 400
+    X = dv.simulate_null(rng, R * n, g)
+    labels = rng.permutation(np.repeat(np.arange(R), n))
+    groups = [X[labels == r].tocsc() for r in range(R)]
+    sf = np.asarray(X.sum(axis=1)).ravel()
+    sf = sf / sf.mean()
+    asf = bin_size_factor(sf, 30)
+    asf_groups = [asf[labels == r] for r in range(R)]
+    tm, tv = [], []
+    for r in range(R):
+        m, v = mean_var_sparse(groups[r], sf[labels == r], 0.1)
+        tm.append(m)
+        tv.append(v)
+    tm, tv = np.array(tm), np.array(tv)
+    mv = fit_mv_regressor(tm.ravel(), tv.ravel())
+    trv = np.stack([_residual_variance_np(tm[r], tv[r], mv)
+                    for r in range(R)])
+    covariate = np.ones((R, 1))
+    treatment = (np.arange(R) % 2).astype(float).reshape(R, 1)
+    nc = np.full(R, n)
+
+    got = run_ht_1d(
+        jax.random.key(5), groups=groups, approx_sf=asf_groups,
+        true_mean=tm, true_res_var=trv, mv_coeffs=np.tile(mv, (R, 1)),
+        q=np.full(R, 0.1), covariate=covariate, treatment=treatment,
+        num_boot=B, model=HYPER_RELATIVE, resampling="bootstrap",
+        tile_size=160,
+    )
+    fw_dv = np.asarray(got["var_pval"][:, 0])
+
+    o_rng = np.random.default_rng(77)
+    o_dv = np.full(g, np.nan)
+    dense = [np.asarray(grp.todense()) for grp in groups]
+    for j in range(g):
+        _, o_dv[j], _ = dv.oracle_pvals(
+            [dense[r][:, j] for r in range(R)], asf_groups,
+            tm[:, j], trv[:, j], mv, covariate, treatment, nc, B, o_rng)
+
+    lam_fw = lambda_gc(fw_dv[np.isfinite(fw_dv)])
+    lam_or = lambda_gc(o_dv[np.isfinite(o_dv)])
+    # identical inflation within lambda sampling noise at 320 genes
+    assert abs(np.log(lam_fw / lam_or)) < np.log(1.45), (lam_fw, lam_or)
+    t_fw = float(np.nanmean(fw_dv < 0.05))
+    t_or = float(np.nanmean(o_dv < 0.05))
+    assert abs(t_fw - t_or) < 0.05, (t_fw, t_or)
