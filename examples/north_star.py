@@ -10,7 +10,8 @@ plots.ipynb``; production lupus runs shard eQTL blocks across jobs,
 ref ``analysis/lupus/run_memento.py:92-109``), and prints a phase
 breakdown plus one JSON summary line.
 
-Environment knobs: NS_CELLS, NS_GENES, NS_BOOT, NS_TILE.
+Environment knobs: NS_CELLS, NS_GENES, NS_BOOT, NS_TILE, NS_CACHE (path to
+an .npz used to cache the simulated counts across runs).
 """
 
 import json
@@ -68,7 +69,15 @@ def main():
     phases = {}
 
     t = time.time()
-    X = simulate(N_CELLS, N_GENES)
+    cache = os.environ.get("NS_CACHE", "")
+    if cache and os.path.exists(cache):
+        X = sparse.load_npz(cache).tocsr()
+        assert X.shape == (N_CELLS, N_GENES), X.shape
+        log(f"loaded cached counts from {cache}")
+    else:
+        X = simulate(N_CELLS, N_GENES)
+        if cache:
+            sparse.save_npz(cache, X)
     phases["simulate"] = time.time() - t
     log(f"nnz = {X.nnz} ({X.nnz / X.shape[0] / X.shape[1]:.4f} density)")
 

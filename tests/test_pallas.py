@@ -108,7 +108,8 @@ def test_pallas_multichunk_interpret(rng, monkeypatch):
 
 
 def test_pallas_bchunk_interpret(rng, monkeypatch):
-    """B > PALLAS_B_CHUNK splits into iid lane chunks; totals conserve."""
+    """B > PALLAS_B_CHUNK runs lane chunks as the inner grid dimension of
+    one launch (iid PRNG streams); totals conserve."""
     from memento_tpu.ops import pallas_kernels
 
     monkeypatch.setattr(pallas_kernels, "PALLAS_B_CHUNK", 128)
@@ -123,3 +124,32 @@ def test_pallas_bchunk_interpret(rng, monkeypatch):
         )
     assert sums.shape == (4, 1, 300)
     np.testing.assert_allclose(sums[:, 0, :], n, rtol=1e-5)
+
+
+def test_pallas_bchunk_and_uchunk_interpret(rng, monkeypatch):
+    """Both chunk axes at once: the U-chunk lax.scan carries the full-width
+    [T, B_pad] remaining/sums blocks across launches while each launch's
+    grid sweeps (row programs x lane chunks).  Totals must conserve exactly
+    through the carried state for every lane chunk."""
+    from memento_tpu.ops import pallas_kernels
+
+    monkeypatch.setattr(pallas_kernels, "PALLAS_CHUNK", 16)
+    monkeypatch.setattr(pallas_kernels, "PALLAS_B_CHUNK", 128)
+    n = 30000
+    t, u = 5, 40  # 3 U-chunks of 16 (padded)
+    counts = np.zeros((t, u), np.float32)
+    for i in range(t):
+        k = rng.integers(20, u)
+        small = rng.integers(1, 20, size=k - 1).astype(np.float32)
+        counts[i, 1:k] = small
+        counts[i, 0] = n - small.sum()
+    w = np.ones((t, u, 2), np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        sums = np.asarray(
+            pallas_kernels.fused_bootstrap_sums_pallas(
+                jax.random.key(0), counts, w, float(n), 300  # 3 lane chunks
+            )
+        )
+    assert sums.shape == (t, 2, 300)
+    np.testing.assert_allclose(sums[:, 0, :], n, rtol=1e-5)
+    np.testing.assert_allclose(sums[:, 1, :], n, rtol=1e-5)
