@@ -22,9 +22,24 @@ def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
-    path = os.path.join(os.path.dirname(__file__), "_native.so")
-    if not os.path.exists(path):
-        return None
+    here = os.path.dirname(__file__)
+    path = os.path.join(here, "_native.so")
+    sources = [os.path.join(here, f) for f in ("compress.cpp", "suffstats.cpp")]
+    stale = os.path.exists(path) and any(
+        os.path.exists(s) and os.path.getmtime(s) > os.path.getmtime(path)
+        for s in sources
+    )
+    if not os.path.exists(path) or stale:
+        # best-effort build (fresh checkout / updated sources); callers fall
+        # back to the numpy paths when the toolchain is unavailable
+        import subprocess
+
+        try:
+            subprocess.run(["make"], cwd=here, check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            if not os.path.exists(path):
+                return None
     _LIB = ctypes.CDLL(path)
     return _LIB
 
@@ -107,6 +122,139 @@ def _compress_group_native(X, approx_sf, pad_multiple=8, min_u=8):
         bin_inv_sf=np.concatenate([[1.0], 1.0 / binvals]).astype(np.float32)
         if with_bins else None,
     )
+
+
+def _csr_arrays(X):
+    """Contiguous (indptr int64, indices int32, data float32) views/copies of
+    a scipy CSR matrix; None when indices would overflow int32."""
+    import scipy.sparse as sparse
+
+    if not sparse.issparse(X) or X.format != "csr":
+        return None
+    if X.shape[1] > 2**31 - 1:
+        return None
+    indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(X.indices, dtype=np.int32)
+    data = np.ascontiguousarray(X.data, dtype=np.float32)
+    return indptr, indices, data
+
+
+def suffstats_csr_native(X, size_factor):
+    """One fused CSR pass -> (s1, s2, s1sq) f64 per gene, or None.
+
+    Replaces the scipy formulation's CSC conversion + X.power(2) temporary
+    (multi-GB at atlas scale) with a single OpenMP pass.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "suffstats_csr"):
+        return None
+    arrs = _csr_arrays(X)
+    if arrs is None:
+        return None
+    indptr, indices, data = arrs
+    n, g = X.shape
+    inv_sf = np.ascontiguousarray(1.0 / np.asarray(size_factor, np.float64))
+    s1 = np.empty(g, np.float64)
+    s2 = np.empty(g, np.float64)
+    s1sq = np.empty(g, np.float64)
+    lib.suffstats_csr(
+        ctypes.c_int64(n), ctypes.c_int64(g),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        inv_sf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        s1.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        s2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        s1sq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return s1, s2, s1sq
+
+
+def suffstats_csc_native(X, size_factor):
+    """CSC analog of ``suffstats_csr_native`` (gene columns contiguous)."""
+    import scipy.sparse as sparse
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "suffstats_csc"):
+        return None
+    if not sparse.issparse(X) or X.format != "csc" or X.shape[0] > 2**31 - 1:
+        return None
+    indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(X.indices, dtype=np.int32)
+    data = np.ascontiguousarray(X.data, dtype=np.float32)
+    g = X.shape[1]
+    inv_sf = np.ascontiguousarray(1.0 / np.asarray(size_factor, np.float64))
+    s1 = np.empty(g, np.float64)
+    s2 = np.empty(g, np.float64)
+    s1sq = np.empty(g, np.float64)
+    lib.suffstats_csc(
+        ctypes.c_int64(g),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        inv_sf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        s1.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        s2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        s1sq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return s1, s2, s1sq
+
+
+def row_sums_csr_native(X, mask=None):
+    """One CSR pass -> (row_tot, masked_tot-or-None) f64, or None.
+
+    Replaces X.sum(axis=1) + X.multiply(mask).sum(axis=1) (the latter
+    allocates a full nnz-sized temporary)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "row_sums_csr"):
+        return None
+    arrs = _csr_arrays(X)
+    if arrs is None:
+        return None
+    indptr, indices, data = arrs
+    n = X.shape[0]
+    row_tot = np.empty(n, np.float64)
+    if mask is not None:
+        mask_u8 = np.ascontiguousarray(np.asarray(mask, bool), np.uint8)
+        masked = np.empty(n, np.float64)
+        mask_ptr = mask_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        masked_ptr = masked.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    else:
+        masked = None
+        mask_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        masked_ptr = ctypes.POINTER(ctypes.c_double)()
+    lib.row_sums_csr(
+        ctypes.c_int64(n),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask_ptr, row_tot.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        masked_ptr,
+    )
+    return row_tot, masked
+
+
+def col_sums_csr_native(X):
+    """One CSR pass -> (col_sum f64, col_nnz int64) per gene, or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "col_sums_csr"):
+        return None
+    arrs = _csr_arrays(X)
+    if arrs is None:
+        return None
+    indptr, indices, data = arrs
+    n, g = X.shape
+    col_sum = np.empty(g, np.float64)
+    col_nnz = np.empty(g, np.int64)
+    lib.col_sums_csr(
+        ctypes.c_int64(n), ctypes.c_int64(g),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        col_sum.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        col_nnz.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return col_sum, col_nnz
 
 
 if available():  # pragma: no cover - depends on build

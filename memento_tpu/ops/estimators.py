@@ -193,7 +193,22 @@ def suffstats_sparse(X, size_factor):
 
     Functionally equivalent to the reference's row-weight sparse dot products
     (``estimator.py:177-180``) but returning reusable sufficient statistics.
+    CSR input takes the fused native pass (one OpenMP sweep, f64
+    accumulation) — the scipy formulation below costs a CSC conversion plus
+    an ``X.power(2)`` temporary, both multi-GB at atlas scale.
     """
+    if sparse.issparse(X) and X.format == "csr":
+        from ..native import suffstats_csr_native
+
+        out = suffstats_csr_native(X, size_factor)
+        if out is not None:
+            return out
+    if sparse.issparse(X) and X.format == "csc":
+        from ..native import suffstats_csc_native
+
+        out = suffstats_csc_native(X, size_factor)
+        if out is not None:
+            return out
     X = X.tocsc() if sparse.issparse(X) else sparse.csc_matrix(X)
     inv_sf = (1.0 / np.asarray(size_factor)).reshape(1, -1)
     inv_sf_sq = inv_sf**2

@@ -54,17 +54,30 @@ def estimate_size_factor(
     if not total and mask is None:
         raise ValueError("one of total=True or mask=... is required")
 
-    if sparse.issparse(X):
+    # fused native CSR pass: row totals + masked totals in one sweep
+    # (X.multiply(mask) below allocates a full nnz-sized temporary)
+    native_sums = None
+    if sparse.issparse(X) and X.format == "csr":
+        from ..native import row_sums_csr_native
+
+        native_sums = row_sums_csr_native(
+            X, mask=np.asarray(mask) if mask is not None else None)
+
+    if native_sums is not None:
+        row_tot, nrc = native_sums
+    elif sparse.issparse(X):
         row_tot = np.asarray(X.sum(axis=1)).reshape(-1)
     else:
         row_tot = np.asarray(X).sum(axis=1)
 
     if mask is not None:
-        mask = np.asarray(mask)
-        if sparse.issparse(X):
-            nrc = np.asarray(X.multiply(mask.reshape(1, -1)).sum(axis=1)).reshape(-1)
-        else:
-            nrc = (np.asarray(X) * mask.reshape(1, -1)).sum(axis=1)
+        if native_sums is None:
+            mask = np.asarray(mask)
+            if sparse.issparse(X):
+                nrc = np.asarray(
+                    X.multiply(mask.reshape(1, -1)).sum(axis=1)).reshape(-1)
+            else:
+                nrc = (np.asarray(X) * mask.reshape(1, -1)).sum(axis=1)
         nrc = nrc + np.quantile(nrc, shrinkage)  # additive shrinkage
         return nrc / nrc.mean()
 

@@ -80,3 +80,75 @@ def test_native_speed_sanity(rng):
     np.testing.assert_array_equal(a.n_unique, b.n_unique)
     sys.stderr.write(f"\ncompress: numpy {t_np*1e3:.1f}ms native {t_na*1e3:.1f}ms\n")
     assert t_na < t_np * 2.0  # sanity; typically much faster
+
+
+@pytest.mark.skipif(not _ensure_built(), reason="native build unavailable")
+def test_native_suffstats_matches_scipy(rng):
+    """Fused CSR suffstats pass == the scipy CSC formulation (f64 exact)."""
+    from memento_tpu.native import (col_sums_csr_native, row_sums_csr_native,
+                                    suffstats_csr_native)
+
+    n, g = 4000, 300
+    X = sparse.random(n, g, density=0.12, format="csr",
+                      data_rvs=lambda k: np.random.default_rng(3).poisson(3.0, k) + 1,
+                      random_state=np.random.RandomState(1)).astype(np.float32)
+    X[:, 7] = 0  # all-zero gene
+    X.eliminate_zeros()
+    sf = rng.random(n) + 0.5
+
+    Xc = X.tocsc()
+    inv = (1.0 / sf).reshape(1, -1)
+    s1o = np.asarray(inv @ Xc).ravel()
+    s2o = np.asarray(inv**2 @ Xc.power(2)).ravel()
+    s1sqo = np.asarray(inv**2 @ Xc).ravel()
+    s1, s2, s1sq = suffstats_csr_native(X, sf)
+    np.testing.assert_allclose(s1, s1o, rtol=1e-12)
+    np.testing.assert_allclose(s2, s2o, rtol=1e-12)
+    np.testing.assert_allclose(s1sq, s1sqo, rtol=1e-12)
+
+    mask = rng.random(g) < 0.3
+    rt, mt = row_sums_csr_native(X, mask=mask)
+    np.testing.assert_allclose(rt, np.asarray(X.sum(axis=1)).ravel(), rtol=1e-12)
+    np.testing.assert_allclose(
+        mt, np.asarray(X.multiply(mask.reshape(1, -1)).sum(axis=1)).ravel(),
+        rtol=1e-12)
+
+    cs, cn = col_sums_csr_native(X)
+    np.testing.assert_allclose(cs, np.asarray(X.sum(axis=0)).ravel(), rtol=1e-12)
+    np.testing.assert_array_equal(cn, np.diff(X.tocsc().indptr))
+
+
+@pytest.mark.skipif(not _ensure_built(), reason="native build unavailable")
+def test_suffstats_sparse_uses_native_and_agrees(rng):
+    """The public host moment path gives identical results CSR (native)
+    vs CSC (scipy fallback)."""
+    from memento_tpu.ops.estimators import mean_var_sparse
+
+    n, g = 3000, 200
+    X = sparse.random(n, g, density=0.1, format="csr",
+                      data_rvs=lambda k: np.random.default_rng(5).poisson(2.0, k) + 1,
+                      random_state=np.random.RandomState(2)).astype(np.float32)
+    sf = rng.random(n) + 0.5
+    m1, v1 = mean_var_sparse(X, sf, 0.1)
+    m2, v2 = mean_var_sparse(X.tocsc(), sf, 0.1)
+    np.testing.assert_allclose(m1, m2, rtol=1e-10)
+    np.testing.assert_allclose(v1, v2, rtol=1e-8, atol=1e-12)
+
+
+@pytest.mark.skipif(not _ensure_built(), reason="native build unavailable")
+def test_native_suffstats_csc_matches_scipy(rng):
+    from memento_tpu.native import suffstats_csc_native
+
+    n, g = 4000, 300
+    X = sparse.random(n, g, density=0.12, format="csc",
+                      data_rvs=lambda k: np.random.default_rng(4).poisson(3.0, k) + 1,
+                      random_state=np.random.RandomState(6)).astype(np.float32)
+    sf = rng.random(n) + 0.5
+    inv = (1.0 / sf).reshape(1, -1)
+    s1o = np.asarray(inv @ X).ravel()
+    s2o = np.asarray(inv**2 @ X.power(2)).ravel()
+    s1sqo = np.asarray(inv**2 @ X).ravel()
+    s1, s2, s1sq = suffstats_csc_native(X, sf)
+    np.testing.assert_allclose(s1, s1o, rtol=1e-12)
+    np.testing.assert_allclose(s2, s2o, rtol=1e-12)
+    np.testing.assert_allclose(s1sq, s1sqo, rtol=1e-12)
