@@ -200,6 +200,41 @@ def suffstats_csc_native(X, size_factor):
     return s1, s2, s1sq
 
 
+def pair_prods_csc_native(X, inv_sf_sq, idx1, idx2):
+    """Per-pair sum of x1*x2/sf^2 over cells from a CSC matrix, or None.
+
+    Sorted-index column intersection per pair (OpenMP over pairs) — avoids
+    the scipy column-gather temporaries of the fallback path."""
+    import scipy.sparse as sparse
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "pair_prods_csc"):
+        return None
+    if not sparse.issparse(X) or X.format != "csc" or X.shape[0] > 2**31 - 1:
+        return None
+    if not bool(X.has_sorted_indices):
+        X.sort_indices()
+    indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(X.indices, dtype=np.int32)
+    data = np.ascontiguousarray(X.data, dtype=np.float32)
+    w2 = np.ascontiguousarray(np.asarray(inv_sf_sq, np.float64))
+    i1 = np.ascontiguousarray(np.asarray(idx1, np.int64))
+    i2 = np.ascontiguousarray(np.asarray(idx2, np.int64))
+    n_pairs = len(i1)
+    prod = np.empty(n_pairs, np.float64)
+    lib.pair_prods_csc(
+        ctypes.c_int64(n_pairs),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        w2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        i1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        i2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        prod.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return prod
+
+
 def row_sums_csr_native(X, mask=None):
     """One CSR pass -> (row_tot, masked_tot-or-None) f64, or None.
 

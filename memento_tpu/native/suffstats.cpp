@@ -152,4 +152,43 @@ void col_sums_csr(int64_t n_cells, int64_t n_genes, const int64_t* indptr,
   }
 }
 
+// Pairwise product sums from CSC columns: for each pair (a, b),
+//   prod[p] = sum_cells x_a * x_b / sf^2
+// via sorted-index intersection of the two columns (cell indices within a
+// CSC column are sorted).  Replaces the scipy X[:, idx1].multiply(...)
+// formulation, whose fancy-indexed column gathers allocate matrices with
+// up to nnz * pairs/genes entries at production pair counts.
+void pair_prods_csc(int64_t n_pairs, const int64_t* indptr,
+                    const int32_t* indices, const float* data,
+                    const double* inv_sf_sq, const int64_t* idx1,
+                    const int64_t* idx2, double* prod) {
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t p = 0; p < n_pairs; ++p) {
+    const int64_t a = idx1[p], b = idx2[p];
+    int64_t ka = indptr[a], ea = indptr[a + 1];
+    int64_t kb = indptr[b], eb = indptr[b + 1];
+    double acc = 0.0;
+    if (a == b) {
+      for (; ka < ea; ++ka) {
+        const double x = data[ka];
+        acc += x * x * inv_sf_sq[indices[ka]];
+      }
+    } else {
+      while (ka < ea && kb < eb) {
+        const int32_t ra = indices[ka], rb = indices[kb];
+        if (ra < rb) {
+          ++ka;
+        } else if (rb < ra) {
+          ++kb;
+        } else {
+          acc += static_cast<double>(data[ka]) * data[kb] * inv_sf_sq[ra];
+          ++ka;
+          ++kb;
+        }
+      }
+    }
+    prod[p] = acc;
+  }
+}
+
 }  // extern "C"

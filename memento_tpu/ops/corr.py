@@ -47,10 +47,16 @@ def cov_sparse_pairs(X, size_factor, q, idx1, idx2, model: NoiseModel):
     s1 = np.asarray(w @ X).ravel() / n  # per-gene mean of x/sf
     s1sq = np.asarray(w2 @ X).ravel() / n  # per-gene mean of x/sf^2
 
-    X1 = X[:, idx1]
-    X2 = X[:, idx2]
-    inv2 = sparse.diags((1.0 / sf) ** 2)
-    prod = np.asarray((X1.multiply(inv2 @ X2)).sum(axis=0)).ravel() / n
+    from ..native import pair_prods_csc_native
+
+    prod = pair_prods_csc_native(X, (1.0 / sf) ** 2, idx1, idx2)
+    if prod is not None:
+        prod = prod / n
+    else:
+        X1 = X[:, idx1]
+        X2 = X[:, idx2]
+        inv2 = sparse.diags((1.0 / sf) ** 2)
+        prod = np.asarray((X1.multiply(inv2 @ X2)).sum(axis=0)).ravel() / n
 
     c = float(np.asarray(model.var_correction(q)))
     same = idx1 == idx2

@@ -152,3 +152,23 @@ def test_native_suffstats_csc_matches_scipy(rng):
     np.testing.assert_allclose(s1, s1o, rtol=1e-12)
     np.testing.assert_allclose(s2, s2o, rtol=1e-12)
     np.testing.assert_allclose(s1sq, s1sqo, rtol=1e-12)
+
+
+@pytest.mark.skipif(not _ensure_built(), reason="native build unavailable")
+def test_native_pair_prods_matches_scipy(rng):
+    from memento_tpu.native import pair_prods_csc_native
+
+    n, g = 3000, 120
+    X = sparse.random(n, g, density=0.15, format="csc",
+                      data_rvs=lambda k: np.random.default_rng(8).poisson(2.0, k) + 1,
+                      random_state=np.random.RandomState(9)).astype(np.float32)
+    sf = rng.random(n) + 0.5
+    idx1 = rng.integers(0, g, 200)
+    idx2 = rng.integers(0, g, 200)
+    idx2[:20] = idx1[:20]  # same-gene pairs (diagonal path)
+    w2 = (1.0 / sf) ** 2
+    got = pair_prods_csc_native(X, w2, idx1, idx2)
+    inv2 = sparse.diags(w2)
+    ref = np.asarray(
+        (X[:, idx1].multiply(inv2 @ X[:, idx2])).sum(axis=0)).ravel()
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
