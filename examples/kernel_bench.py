@@ -45,9 +45,13 @@ def main():
         print(f"tile T={t_dim} U={u_dim} B={b}", flush=True)
         # uniform row totals (the XLA scan path takes a scalar n_obs; the
         # pallas path accepts either)
-        n = 20000
+        # n chosen above the max possible row sum (u_dim * 39) so topping up
+        # bin 0 never goes negative — the cascade requires a valid
+        # multiplicity vector (non-negative, summing to n)
+        n = 50000
         counts = rng.integers(1, 40, size=(t_dim, u_dim)).astype(np.float32)
         counts[:, 0] += n - counts.sum(1)
+        assert (counts >= 0).all() and np.allclose(counts.sum(1), n)
         weights = rng.random((t_dim, u_dim, 3)).astype(np.float32)
         counts = jnp.asarray(counts)
         weights = jnp.asarray(weights)

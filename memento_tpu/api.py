@@ -60,6 +60,18 @@ __all__ = [
 ]
 
 
+def _obs_mean(X):
+    """Per-gene observed mean; one fused native CSR pass when available
+    (avoids scipy's extra matvec pass on the full atlas-scale matrix)."""
+    if sparse.issparse(X) and X.format == "csr":
+        from .native import col_sums_csr_native
+
+        res = col_sums_csr_native(X)
+        if res is not None:
+            return res[0] / X.shape[0]
+    return np.asarray(X.mean(axis=0)).ravel()
+
+
 def _residual_variance_np(mean, var, coeffs):
     """Host-side residual variance (ref ``estimator.py:103-111``)."""
     mean = np.asarray(mean, dtype=np.float64)
@@ -143,7 +155,7 @@ def setup_memento(
     else:
         all_m, all_v = est.mean_var_sparse(adata.X, naive_sf, uns["all_q"],
                                            "hyper_relative")
-    obs_mean = np.asarray(adata.X.mean(axis=0)).ravel()
+    obs_mean = _obs_mean(adata.X)
     all_m = np.asarray(all_m).copy()
     all_m[obs_mean < filter_mean_thresh] = 0  # mean filter
     all_res_var = _residual_variance_np(all_m, all_v,

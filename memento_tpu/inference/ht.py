@@ -1025,7 +1025,8 @@ def run_ht_2d(
         stop = min(start + tile_size, p)
         t = tile_size
         sl = slice(start, stop)
-        v1, v2, cnt, isf, isf2, binned = tile_inputs(start, stop, t)
+        with profiling.phase("ht2d.compress+pack"):
+            v1, v2, cnt, isf, isf2, binned = tile_inputs(start, stop, t)
         tile_sampler = _resolve_sampler(sampler, cnt.shape[-1], mesh=mesh)
         if per_pair_treatment:
             treat_tile = _pad_axis(treatment[sl], t, 0)

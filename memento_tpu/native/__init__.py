@@ -18,28 +18,54 @@ _LIB = None
 compress_group_native = None
 
 
+_SOURCES = ("compress.cpp", "suffstats.cpp", "pairs.cpp")
+
+
 def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
     here = os.path.dirname(__file__)
     path = os.path.join(here, "_native.so")
-    sources = [os.path.join(here, f) for f in ("compress.cpp", "suffstats.cpp")]
+    sources = [os.path.join(here, f) for f in _SOURCES]
     stale = os.path.exists(path) and any(
         os.path.exists(s) and os.path.getmtime(s) > os.path.getmtime(path)
         for s in sources
     )
     if not os.path.exists(path) or stale:
-        # best-effort build (fresh checkout / updated sources); callers fall
-        # back to the numpy paths when the toolchain is unavailable
+        # Best-effort build (fresh checkout / updated sources); callers fall
+        # back to the numpy paths when the toolchain is unavailable.  The
+        # Makefile compiles to a temp name and renames atomically; an
+        # advisory flock serializes concurrent builders (worker fan-out) so
+        # only one compiler runs and nobody CDLLs a partial file.
         import subprocess
 
+        lock_path = os.path.join(here, ".build.lock")
         try:
-            subprocess.run(["make"], cwd=here, check=True,
-                           capture_output=True, timeout=120)
+            import fcntl
+
+            with open(lock_path, "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                try:
+                    # re-check under the lock: another process may have built
+                    now_stale = os.path.exists(path) and any(
+                        os.path.exists(s)
+                        and os.path.getmtime(s) > os.path.getmtime(path)
+                        for s in sources
+                    )
+                    if not os.path.exists(path) or now_stale:
+                        subprocess.run(["make"], cwd=here, check=True,
+                                       capture_output=True, timeout=120)
+                finally:
+                    fcntl.flock(lock, fcntl.LOCK_UN)
         except Exception:
             if not os.path.exists(path):
                 return None
+            import warnings
+
+            warnings.warn(
+                "memento_tpu.native: rebuild failed; loading the existing "
+                "(possibly stale) _native.so", RuntimeWarning)
     _LIB = ctypes.CDLL(path)
     return _LIB
 
@@ -124,14 +150,112 @@ def _compress_group_native(X, approx_sf, pad_multiple=8, min_u=8):
     )
 
 
+def _f32_exact(data) -> bool:
+    """True when casting ``data`` to float32 is lossless (the native kernels
+    compute on f32 inputs; for f64 matrices with non-representable values the
+    scipy fallback would diverge, so callers must skip the native path)."""
+    if data.dtype != np.float64:
+        return True
+    d32 = data.astype(np.float32)
+    return bool(np.array_equal(d32.astype(np.float64), data))
+
+
+def _compress_pairs_native(X, approx_sf, idx1, idx2, pad_multiple=8, min_u=8):
+    """ctypes wrapper around the C++ joint pair packer (CSC input).
+
+    Same semantics as ``ops.compress._compress_pairs_vectorized`` (oracle);
+    one OpenMP merge per pair instead of a global lexsort.
+    """
+    import scipy.sparse as sparse
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "pack_unique_pairs_bins"):
+        return None
+    from ..ops.compress import CompressedPairGroup
+    from ..ops.size_factor import factorize_approx_sf
+
+    X = X.tocsc() if sparse.issparse(X) else sparse.csc_matrix(X)
+    if not bool(X.has_sorted_indices):
+        X.sort_indices()
+    n_cells = X.shape[0]
+    bin_values, bin_ids = factorize_approx_sf(approx_sf)
+    nbins = len(bin_values)
+
+    indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(X.indices, dtype=np.int64)
+    data = np.ascontiguousarray(np.round(X.data), dtype=np.int64)
+    bins = np.ascontiguousarray(bin_ids, dtype=np.int32)
+    binvals = np.ascontiguousarray(bin_values, dtype=np.float64)
+    i1 = np.ascontiguousarray(np.asarray(idx1, dtype=np.int64))
+    i2 = np.ascontiguousarray(np.asarray(idx2, dtype=np.int64))
+    n_pairs = len(i1)
+
+    n_unique = np.zeros(n_pairs, dtype=np.int32)
+    lib.count_unique_pairs(
+        ctypes.c_int64(n_cells),
+        ctypes.c_int64(n_pairs),
+        ctypes.c_int32(nbins),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        i1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        i2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_unique.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    u_max = int(n_unique.max()) if n_pairs else min_u
+    u_max = max(min_u, ((u_max + pad_multiple - 1) // pad_multiple) * pad_multiple)
+
+    values_1 = np.zeros((n_pairs, u_max), dtype=np.float32)
+    values_2 = np.zeros((n_pairs, u_max), dtype=np.float32)
+    counts = np.zeros((n_pairs, u_max), dtype=np.float32)
+    inv_sf = np.ones((n_pairs, u_max), dtype=np.float32)
+    with_bins = nbins + 1 <= 255
+    sf_bin = np.zeros((n_pairs, u_max), dtype=np.uint8) if with_bins else None
+    lib.pack_unique_pairs_bins(
+        ctypes.c_int64(n_cells),
+        ctypes.c_int64(n_pairs),
+        ctypes.c_int32(nbins),
+        ctypes.c_int64(u_max),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        binvals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        i1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        i2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        values_1.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        values_2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        inv_sf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        sf_bin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) if with_bins
+        else ctypes.POINTER(ctypes.c_uint8)(),
+    )
+    return CompressedPairGroup(
+        values_1=values_1,
+        values_2=values_2,
+        counts=counts,
+        inv_sf=inv_sf,
+        inv_sf_sq=(inv_sf * inv_sf).astype(np.float32),
+        n_obs=n_cells,
+        n_unique=n_unique,
+        sf_bin=sf_bin,
+        bin_inv_sf=np.concatenate([[1.0], 1.0 / binvals]).astype(np.float32)
+        if with_bins else None,
+    )
+
+
 def _csr_arrays(X):
     """Contiguous (indptr int64, indices int32, data float32) views/copies of
-    a scipy CSR matrix; None when indices would overflow int32."""
+    a scipy CSR matrix; None when indices would overflow int32 or when f64
+    data is not exactly float32-representable."""
     import scipy.sparse as sparse
 
     if not sparse.issparse(X) or X.format != "csr":
         return None
     if X.shape[1] > 2**31 - 1:
+        return None
+    if not _f32_exact(X.data):
         return None
     indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
     indices = np.ascontiguousarray(X.indices, dtype=np.int32)
@@ -179,6 +303,8 @@ def suffstats_csc_native(X, size_factor):
         return None
     if not sparse.issparse(X) or X.format != "csc" or X.shape[0] > 2**31 - 1:
         return None
+    if not _f32_exact(X.data):
+        return None
     indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
     indices = np.ascontiguousarray(X.indices, dtype=np.int32)
     data = np.ascontiguousarray(X.data, dtype=np.float32)
@@ -211,6 +337,8 @@ def pair_prods_csc_native(X, inv_sf_sq, idx1, idx2):
     if lib is None or not hasattr(lib, "pair_prods_csc"):
         return None
     if not sparse.issparse(X) or X.format != "csc" or X.shape[0] > 2**31 - 1:
+        return None
+    if not _f32_exact(X.data):
         return None
     if not bool(X.has_sorted_indices):
         X.sort_indices()
@@ -292,5 +420,9 @@ def col_sums_csr_native(X):
     return col_sum, col_nnz
 
 
+compress_pairs_native = None
+
 if available():  # pragma: no cover - depends on build
     compress_group_native = _compress_group_native
+    if hasattr(_LIB, "pack_unique_pairs_bins"):
+        compress_pairs_native = _compress_pairs_native

@@ -219,14 +219,23 @@ def compress_pairs(X_csc, approx_sf, idx1, idx2, pad_multiple: int = 8,
 
     Mirrors ``_unique_expr`` applied to two-column slices
     (ref ``bootstrap.py:119-157``), with exact integer codes.  The default
-    backend packs ALL pairs with one lexsort (O(total_nnz log) overall);
+    backend is the C++ per-pair merge kernel (``native/pairs.cpp``, OpenMP
+    over pairs); ``backend='numpy'`` packs ALL pairs with one lexsort
+    (O(total_nnz log) overall) and is the native kernel's oracle;
     ``backend='loop'`` is the simple per-pair oracle used by its tests.
 
     Args:
       X_csc: ``[N, G]`` CSC matrix of the group.
       idx1, idx2: ``[P]`` integer gene indices of each pair.
     """
-    if backend == "auto":
+    if backend in ("auto", "native"):
+        native = _try_native_pairs(X_csc, approx_sf, idx1, idx2,
+                                   pad_multiple, min_u)
+        if native is not None:
+            return native
+        if backend == "native":
+            raise RuntimeError("native pair compressor requested but unavailable")
+    if backend in ("auto", "numpy"):
         try:
             return _compress_pairs_vectorized(X_csc, approx_sf, idx1, idx2,
                                               pad_multiple, min_u)
@@ -234,6 +243,17 @@ def compress_pairs(X_csc, approx_sf, idx1, idx2, pad_multiple: int = 8,
             pass  # fall through to the loop
     return _compress_pairs_loop(X_csc, approx_sf, idx1, idx2, pad_multiple,
                                 min_u)
+
+
+def _try_native_pairs(X_csc, approx_sf, idx1, idx2, pad_multiple, min_u):
+    try:
+        from ..native import compress_pairs_native
+    except Exception:
+        return None
+    if compress_pairs_native is None:
+        return None
+    return compress_pairs_native(X_csc, approx_sf, idx1, idx2, pad_multiple,
+                                 min_u)
 
 
 def _ranges(starts, lens):
