@@ -53,7 +53,7 @@ def _uniform_from_bits(bits):
 def _cascade_chunk_kernel(seed_ref, off_ref, rem_in_ref, sums_in_ref,
                           ratio_ref, lam_ref, ctail_ref, w_ref,
                           rem_out_ref, sums_out_ref, *, u_dim, w_dim, b_pad,
-                          tau):
+                          tau, n_bc, u_total):
     """One (8-gene, b_pad-replicate) block over one U-chunk of the cascade.
 
     The carries (``remaining`` trials and the weighted sums) arrive as
@@ -61,15 +61,14 @@ def _cascade_chunk_kernel(seed_ref, off_ref, rem_in_ref, sums_in_ref,
     chain through a ``lax.scan`` — one compiled kernel serves every U.
     ``off_ref`` holds the chunk's global bin offset (PRNG stream index).
     """
-    # Distinct PRNG stream per (gene-row program, replicate-lane chunk, bin):
-    # row programs are 1000003 apart (> any real U, so off+u never crosses
-    # into the next row's range) and lane chunks use a second large prime
-    # that wraps int32 independently of the row stride.
-    base_seed = (
-        seed_ref[0]
-        + pl.program_id(0) * jnp.int32(1000003)
-        + pl.program_id(1) * jnp.int32(999999937)
-    )
+    # Distinct PRNG stream per (gene-row program, replicate-lane chunk, bin),
+    # PROVABLY non-overlapping: each program (linear id over the 2-D grid)
+    # owns the exclusive seed range [seed + pid*u_total, ... + u_total) —
+    # n_bc and u_total are static, so no pair of (program, bin) tuples can
+    # alias regardless of grid size (unlike the earlier fixed prime strides,
+    # which collided for tile_size >= ~8k rows with B > 2048).
+    pid = pl.program_id(0) * jnp.int32(n_bc) + pl.program_id(1)
+    base_seed = seed_ref[0] + pid * jnp.int32(u_total)
     off = off_ref[0]
 
     remaining = rem_in_ref[:, :]
@@ -221,6 +220,8 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
         w_dim=w_dim,
         b_pad=b_chunk,
         tau=CASCADE_TAU,
+        n_bc=n_bc,
+        u_total=u_pad,
     )
 
     def to_chunks(x):  # [T, u_pad, ...] -> [n_chunks, T, chunk, ...]
