@@ -57,20 +57,29 @@ def fill_invalid(key, vals, valid):
     Returns:
       (filled ``[..., B]``, all_invalid ``[...]`` bool).
     """
-    b = vals.shape[-1]
     all_invalid = ~jnp.any(valid, axis=-1)
-    # Stable-sort invalidity: the first V positions of `order` are the valid
-    # indices (original order).  O(B log B) per row — a categorical over the
-    # B entries would be O(B^2) and dominated the whole pipeline.
-    order = jnp.argsort(~valid, axis=-1, stable=True)
-    n_valid = jnp.maximum(valid.sum(axis=-1), 1)
-    u = jax.random.uniform(key, vals.shape)
-    pick = jnp.minimum(
-        (u * n_valid[..., None]).astype(jnp.int32), (n_valid - 1)[..., None]
+
+    def do_fill(vals, valid):
+        # Stable-sort invalidity: the first V positions of `order` are the
+        # valid indices (original order).  O(B log B) per row — a categorical
+        # over the B entries would be O(B^2) and dominated the pipeline.
+        order = jnp.argsort(~valid, axis=-1, stable=True)
+        n_valid = jnp.maximum(valid.sum(axis=-1), 1)
+        u = jax.random.uniform(key, vals.shape)
+        pick = jnp.minimum(
+            (u * n_valid[..., None]).astype(jnp.int32),
+            (n_valid - 1)[..., None],
+        )
+        donor_idx = jnp.take_along_axis(order, pick, axis=-1)
+        donors = jnp.take_along_axis(vals, donor_idx, axis=-1)
+        return jnp.where(valid, vals, donors)
+
+    # At scale the common case is "every replicate valid" (well-expressed
+    # genes never bootstrap to zero), where filling is the identity — the
+    # cond skips the [.., B] argsort entirely at runtime in that case.
+    filled = jax.lax.cond(
+        jnp.all(valid), lambda v, _: v, do_fill, vals, valid
     )
-    donor_idx = jnp.take_along_axis(order, pick, axis=-1)
-    donors = jnp.take_along_axis(vals, donor_idx, axis=-1)
-    filled = jnp.where(valid, vals, donors)
     return filled, all_invalid
 
 

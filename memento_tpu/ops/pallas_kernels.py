@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .sampling import CASCADE_TAU
 
 _TWO_PI = 6.283185307179586
-_K_TABLE = 56  # truncation: P[Poisson(tau) > 56] < 1e-8 at tau=24
+_K_TABLE = 32  # truncation: P[Poisson(tau) > 32] < 4e-12 at tau=8
 
 
 def _uniform_from_bits(bits):
@@ -88,19 +88,24 @@ def _cascade_chunk_kernel(seed_ref, off_ref, rem_in_ref, sums_in_ref,
         u2 = _uniform_from_bits(bits[:, b_pad : 2 * b_pad])
         u3 = _uniform_from_bits(bits[:, 2 * b_pad :])
 
-        # Gaussian branch (Box-Muller)
+        # Gaussian branch (Box-Muller) with the Cornish-Fisher skew term and
+        # variance compensation — keeps the CLT boundary at tau=8 (see
+        # ops.sampling._approx_binomial_step, which this must match).
         z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
         m = remaining * ratio
-        s = jnp.sqrt(jnp.maximum(m * (1.0 - ratio), 0.0))
-        g = jnp.clip(jnp.round(m + s * z), 0.0, remaining)
+        gam = 1.0 - 2.0 * ratio
+        s = jnp.sqrt(jnp.maximum(
+            m * (1.0 - ratio) - gam * gam * (1.0 / 18.0) - 1.0 / 12.0, 0.0))
+        g = jnp.clip(jnp.round(m + s * z + gam * (z * z - 1.0) * (1.0 / 6.0)),
+                     0.0, remaining)
 
         # Poisson-table branch with the CDF built iteratively in-register.
         # The trip count is ADAPTIVE per bin: only lanes with lam < tau use
         # the table (larger bins take the Gaussian branch and discard t), so
         # the bound comes from the largest table-branch lam in this 8-row
-        # block — k = lam + 7*sqrt(lam) + 8 keeps P[X > k] < 1e-12 for all
-        # lam <= tau (most real bins are either Gaussian-branch or tiny, so
-        # this typically cuts the 56-iteration worst case to ~0-20).
+        # block — k = lam + 6*sqrt(lam) + 6 keeps P[X > k] < 1e-11 for all
+        # lam <= tau=8 (most real bins are either Gaussian-branch or tiny,
+        # so this typically cuts the 32-iteration worst case to ~0-15).
         def table_step(k, carry):
             t_acc, cdf, pmf = carry
             t_acc = t_acc + (u3 > cdf).astype(jnp.float32)
@@ -112,7 +117,7 @@ def _cascade_chunk_kernel(seed_ref, off_ref, rem_in_ref, sums_in_ref,
             lam_tab > 0.0,
             jnp.minimum(
                 jnp.float32(_K_TABLE),
-                jnp.ceil(lam_tab + 7.0 * jnp.sqrt(lam_tab) + 8.0),
+                jnp.ceil(lam_tab + 6.0 * jnp.sqrt(lam_tab) + 6.0),
             ),
             0.0,
         ).astype(jnp.int32)

@@ -125,3 +125,33 @@ def test_padded_bins_inert(rng):
                                  jnp.asarray(w), n, 64, sampler)
         )
         assert np.all(sums == 0.0), sampler
+
+
+def test_cf_gaussian_branch_accuracy(rng):
+    """Bins with lam in [tau, 3*tau) take the Cornish-Fisher Gaussian branch;
+    their marginal draw distribution must track the exact Poisson closely
+    (mean to ~0.2%, variance to ~2%, normalized EMD < 0.02)."""
+    from scipy.stats import wasserstein_distance
+
+    from memento_tpu.ops.sampling import (
+        CASCADE_TAU,
+        _approx_binomial_step,
+        poisson_cdf_table,
+    )
+
+    n, B = 200000.0, 60000
+    for lam in (CASCADE_TAU, 12.0, 20.0):
+        ratio = jnp.asarray([lam / n], jnp.float32)
+        cdf = poisson_cdf_table(jnp.asarray([lam], jnp.float32))
+        remaining = jnp.full((1, B), n, jnp.float32)
+        draws = np.asarray(
+            _approx_binomial_step(
+                jax.random.key(int(lam)), remaining, jnp.asarray([n]),
+                ratio, jnp.asarray([lam]), cdf
+            )
+        ).ravel()
+        exact = np.random.default_rng(int(lam)).poisson(lam, B)
+        assert abs(draws.mean() - lam) < 0.03 + 0.002 * lam, lam
+        assert abs(draws.var() / exact.var() - 1) < 0.03, lam
+        emd = wasserstein_distance(draws, exact) / np.sqrt(lam)
+        assert emd < 0.02, (lam, emd)
