@@ -590,6 +590,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _max_combo_count(compressed, approx_sf) -> float:
+    """Tight upper bound on any combo multiplicity, for the counts transport
+    dtype: a (value, sf-bin) combo's multiplicity can never exceed its bin's
+    occupancy, so the bound is the largest size-factor-bin population — far
+    below the group cell count (the previous bound), which forced float32
+    counts for any group over 64k cells."""
+    if compressed is not None:
+        return max(
+            (float(np.max(c.counts, initial=0.0)) for c in compressed),
+            default=0.0,
+        )
+    mx = 0.0
+    for asf in approx_sf:
+        if len(asf):
+            _, occ = np.unique(np.asarray(asf), return_counts=True)
+            mx = max(mx, float(occ.max()))
+    return mx
+
+
 def _value_dtype(vmax: float):
     """Transport dtype for expression values, decided ONCE per run from the
     global max so every tile hits one compiled executable (per-tile maxima
@@ -741,7 +760,8 @@ def run_ht_1d(
     }
 
     vdtype = _value_dtype(_global_value_max(compressed, groups))
-    cdtype = np.uint16 if n_obs.max(initial=0.0) < 65535 else np.float32
+    cdtype = (np.uint16 if _max_combo_count(compressed, approx_sf) < 65535
+              else np.float32)
 
     def tile_inputs(start, stop, t):
         sl = slice(start, stop)
