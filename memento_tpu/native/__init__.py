@@ -95,6 +95,67 @@ def _compress_group_native(X, approx_sf, pad_multiple=8, min_u=8):
     bins = np.ascontiguousarray(bin_ids, dtype=np.int32)
     binvals = np.ascontiguousarray(bin_values, dtype=np.float64)
 
+    if hasattr(lib, "compress_group_compact"):
+        # single pass: compact runs at worst-case offsets + numpy scatter
+        nnz_col = np.diff(indptr)
+        cap_off = np.zeros(n_genes + 1, dtype=np.int64)
+        np.cumsum(nbins + nnz_col, out=cap_off[1:])
+        total_cap = int(cap_off[-1])
+        cv = np.empty(total_cap, dtype=np.float32)
+        ccnt = np.empty(total_cap, dtype=np.float32)
+        cisf = np.empty(total_cap, dtype=np.float32)
+        with_bins = nbins + 1 <= 255
+        cbin = np.empty(total_cap, dtype=np.uint8) if with_bins else None
+        n_unique = np.zeros(n_genes, dtype=np.int32)
+        if n_genes:
+            lib.compress_group_compact(
+                ctypes.c_int64(n_cells),
+                ctypes.c_int64(n_genes),
+                ctypes.c_int32(nbins),
+                indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                data.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                binvals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                cap_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                cv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ccnt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                cisf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                cbin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                if with_bins else ctypes.POINTER(ctypes.c_uint8)(),
+                n_unique.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+        u_max = int(n_unique.max()) if n_genes else min_u
+        u_max = max(min_u,
+                    ((u_max + pad_multiple - 1) // pad_multiple) * pad_multiple)
+        values = np.zeros((n_genes, u_max), dtype=np.float32)
+        counts = np.zeros((n_genes, u_max), dtype=np.float32)
+        inv_sf = np.ones((n_genes, u_max), dtype=np.float32)
+        sf_bin = (np.zeros((n_genes, u_max), dtype=np.uint8)
+                  if with_bins else None)
+        if n_genes and n_unique.any():
+            rows = np.repeat(np.arange(n_genes), n_unique)
+            starts = np.concatenate(([0], np.cumsum(n_unique)[:-1]))
+            cols = np.arange(int(n_unique.sum()), dtype=np.int64) - np.repeat(
+                starts, n_unique)
+            src = np.repeat(cap_off[:-1], n_unique) + cols
+            values[rows, cols] = cv[src]
+            counts[rows, cols] = ccnt[src]
+            inv_sf[rows, cols] = cisf[src]
+            if with_bins:
+                sf_bin[rows, cols] = cbin[src]
+        return CompressedGroup(
+            values=values,
+            counts=counts,
+            inv_sf=inv_sf,
+            inv_sf_sq=(inv_sf * inv_sf).astype(np.float32),
+            n_obs=n_cells,
+            n_unique=n_unique,
+            sf_bin=sf_bin,
+            bin_inv_sf=np.concatenate([[1.0], 1.0 / binvals]).astype(np.float32)
+            if with_bins else None,
+        )
+
     n_unique = np.zeros(n_genes, dtype=np.int32)
     # first pass: count uniques per gene to size the output
     lib.count_unique(
@@ -163,13 +224,15 @@ def _f32_exact(data) -> bool:
 def _compress_pairs_native(X, approx_sf, idx1, idx2, pad_multiple=8, min_u=8):
     """ctypes wrapper around the C++ joint pair packer (CSC input).
 
-    Same semantics as ``ops.compress._compress_pairs_vectorized`` (oracle);
-    one OpenMP merge per pair instead of a global lexsort.
+    Same semantics as ``ops.compress._compress_pairs_vectorized`` (oracle).
+    One OpenMP merge-plus-histogram pass per pair writes compact runs at
+    worst-case offsets (nbins + nnz(a) + nnz(b) slots per pair); the padded
+    [P, u_max] tiles are then filled by a ~U-sized numpy gather.
     """
     import scipy.sparse as sparse
 
     lib = _load()
-    if lib is None or not hasattr(lib, "pack_unique_pairs_bins"):
+    if lib is None or not hasattr(lib, "compress_pairs_compact"):
         return None
     from ..ops.compress import CompressedPairGroup
     from ..ops.size_factor import factorize_approx_sf
@@ -177,7 +240,7 @@ def _compress_pairs_native(X, approx_sf, idx1, idx2, pad_multiple=8, min_u=8):
     X = X.tocsc() if sparse.issparse(X) else sparse.csc_matrix(X)
     if not bool(X.has_sorted_indices):
         X.sort_indices()
-    n_cells = X.shape[0]
+    n_cells, n_genes = X.shape
     bin_values, bin_ids = factorize_approx_sf(approx_sf)
     nbins = len(bin_values)
 
@@ -190,19 +253,42 @@ def _compress_pairs_native(X, approx_sf, idx1, idx2, pad_multiple=8, min_u=8):
     i2 = np.ascontiguousarray(np.asarray(idx2, dtype=np.int64))
     n_pairs = len(i1)
 
+    # worst-case slots per pair: one per sf bin + one per union nonzero
+    nnz_col = np.diff(indptr)
+    caps = nbins + nnz_col[i1] + nnz_col[i2]
+    cap_off = np.zeros(n_pairs + 1, dtype=np.int64)
+    np.cumsum(caps, out=cap_off[1:])
+    total_cap = int(cap_off[-1])
+
+    cv1 = np.empty(total_cap, dtype=np.float32)
+    cv2 = np.empty(total_cap, dtype=np.float32)
+    ccnt = np.empty(total_cap, dtype=np.float32)
+    cisf = np.empty(total_cap, dtype=np.float32)
+    with_bins = nbins + 1 <= 255
+    cbin = np.empty(total_cap, dtype=np.uint8) if with_bins else None
     n_unique = np.zeros(n_pairs, dtype=np.int32)
-    lib.count_unique_pairs(
-        ctypes.c_int64(n_cells),
-        ctypes.c_int64(n_pairs),
-        ctypes.c_int32(nbins),
-        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        i1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        i2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n_unique.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-    )
+    if n_pairs:
+        lib.compress_pairs_compact(
+            ctypes.c_int64(n_cells),
+            ctypes.c_int64(n_genes),
+            ctypes.c_int64(n_pairs),
+            ctypes.c_int32(nbins),
+            indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            binvals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            i1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            i2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cv1.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cv2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ccnt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cisf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cbin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) if with_bins
+            else ctypes.POINTER(ctypes.c_uint8)(),
+            n_unique.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
     u_max = int(n_unique.max()) if n_pairs else min_u
     u_max = max(min_u, ((u_max + pad_multiple - 1) // pad_multiple) * pad_multiple)
 
@@ -210,27 +296,19 @@ def _compress_pairs_native(X, approx_sf, idx1, idx2, pad_multiple=8, min_u=8):
     values_2 = np.zeros((n_pairs, u_max), dtype=np.float32)
     counts = np.zeros((n_pairs, u_max), dtype=np.float32)
     inv_sf = np.ones((n_pairs, u_max), dtype=np.float32)
-    with_bins = nbins + 1 <= 255
     sf_bin = np.zeros((n_pairs, u_max), dtype=np.uint8) if with_bins else None
-    lib.pack_unique_pairs_bins(
-        ctypes.c_int64(n_cells),
-        ctypes.c_int64(n_pairs),
-        ctypes.c_int32(nbins),
-        ctypes.c_int64(u_max),
-        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        binvals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        i1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        i2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        values_1.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        values_2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        inv_sf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        sf_bin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) if with_bins
-        else ctypes.POINTER(ctypes.c_uint8)(),
-    )
+    if n_pairs and n_unique.any():
+        rows = np.repeat(np.arange(n_pairs), n_unique)
+        starts = np.concatenate(([0], np.cumsum(n_unique)[:-1]))
+        cols = np.arange(int(n_unique.sum()), dtype=np.int64) - np.repeat(
+            starts, n_unique)
+        src = np.repeat(cap_off[:-1], n_unique) + cols
+        values_1[rows, cols] = cv1[src]
+        values_2[rows, cols] = cv2[src]
+        counts[rows, cols] = ccnt[src]
+        inv_sf[rows, cols] = cisf[src]
+        if with_bins:
+            sf_bin[rows, cols] = cbin[src]
     return CompressedPairGroup(
         values_1=values_1,
         values_2=values_2,
@@ -424,5 +502,5 @@ compress_pairs_native = None
 
 if available():  # pragma: no cover - depends on build
     compress_group_native = _compress_group_native
-    if hasattr(_LIB, "pack_unique_pairs_bins"):
+    if hasattr(_LIB, "compress_pairs_compact"):
         compress_pairs_native = _compress_pairs_native

@@ -154,4 +154,69 @@ void pack_unique(int64_t n_cells, int64_t n_genes, int32_t nbins,
                    bins, bin_values, values, counts, inv_sf, nullptr);
 }
 
+// Single pass: count AND pack in one histogram sweep per gene, writing
+// compact runs at caller-provided worst-case offsets (nbins + nnz(g) slots
+// per gene); the caller scatters them into padded tiles.  Replaces the
+// count_unique + pack_unique_bins two-call flow, which walked every gene's
+// nonzeros twice.
+void compress_group_compact(int64_t n_cells, int64_t n_genes, int32_t nbins,
+                            const int64_t* indptr, const int64_t* indices,
+                            const int64_t* data, const int32_t* bins,
+                            const double* bin_values, const int64_t* cap_off,
+                            float* values, float* counts, float* inv_sf,
+                            uint8_t* sf_bin, int32_t* n_unique) {
+  std::vector<int64_t> bin_total(nbins, 0);
+  for (int64_t c = 0; c < n_cells; ++c) bin_total[bins[c]]++;
+
+  std::vector<float> inv_bin(nbins);
+  for (int32_t b = 0; b < nbins; ++b)
+    inv_bin[b] = static_cast<float>(1.0 / bin_values[b]);
+
+#pragma omp parallel
+  {
+    CodeHist h;
+    std::vector<int64_t> nz_bin(nbins);
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t g = 0; g < n_genes; ++g) {
+      const int64_t lo = indptr[g], hi = indptr[g + 1];
+      std::fill(nz_bin.begin(), nz_bin.end(), 0);
+      int64_t vmax = 0;
+      for (int64_t k = lo; k < hi; ++k)
+        if (data[k] > vmax) vmax = data[k];
+      h.ensure(static_cast<size_t>((vmax + 1)) * nbins);
+      for (int64_t k = lo; k < hi; ++k) {
+        const int32_t b = bins[indices[k]];
+        nz_bin[b]++;
+        h.add(data[k] * nbins + b);
+      }
+
+      float* vrow = values + cap_off[g];
+      float* crow = counts + cap_off[g];
+      float* srow = inv_sf + cap_off[g];
+      uint8_t* brow = sf_bin ? sf_bin + cap_off[g] : nullptr;
+      int64_t slot = 0;
+      for (int32_t b = 0; b < nbins; ++b) {
+        const int64_t z = bin_total[b] - nz_bin[b];
+        if (z > 0) {
+          vrow[slot] = 0.0f;
+          crow[slot] = static_cast<float>(z);
+          srow[slot] = inv_bin[b];
+          if (brow) brow[slot] = static_cast<uint8_t>(b + 1);
+          slot++;
+        }
+      }
+      for (int64_t code : h.touched) {
+        const int32_t b = static_cast<int32_t>(code % nbins);
+        vrow[slot] = static_cast<float>(code / nbins);
+        crow[slot] = static_cast<float>(h.hist[code]);
+        srow[slot] = inv_bin[b];
+        if (brow) brow[slot] = static_cast<uint8_t>(b + 1);
+        slot++;
+      }
+      h.reset();
+      n_unique[g] = static_cast<int32_t>(slot);
+    }
+  }
+}
+
 }  // extern "C"

@@ -7,13 +7,23 @@
 // memento_tpu/ops/compress.py (its tests are the oracle for this code)
 // concatenates and lexsorts every pair's nonzeros at once — O(total_nnz log)
 // with several full-size temporaries, which dominated the whole 2D test on
-// the 2-core host.  Here each pair is one independent merge of two sorted
-// CSC columns plus a sort of its ~|union| codes, OpenMP over pairs.
+// the 2-core host.
+//
+// Here each pair is ONE merge of its two sorted CSC columns feeding a
+// lazily-reset dense histogram over the (x1, x2, bin) code space — the same
+// counting trick as the 1D kernel in compress.cpp — so the per-pair cost is
+// O(union + U log U) with U = #unique combos (typically a few hundred),
+// instead of the previous sort of the whole ~|union| code list.  A single
+// pass emits compact per-pair runs at caller-provided offsets; the caller
+// scatters them into padded tiles (a ~U-sized gather, negligible).  This
+// replaced a two-call count/pack API that re-did the merge AND the sort
+// twice per pair.
 //
 // Layout contract (mirrors CompressedPairGroup):
 //   slots [0, n_z)           : zero-zero combos, one per populated sf bin
 //   slots [n_z, n_z + n_nz)  : nonzero (x1, x2, bin) combos, code-sorted
-//   slots beyond             : padding (counts 0, inv_sf 1)
+//                              (code = (x1 * v2cap + x2) * nbins + bin, i.e.
+//                              lexicographic by (x1, x2, bin))
 
 #include <algorithm>
 #include <cstdint>
@@ -25,30 +35,41 @@
 
 namespace {
 
-// Merge the two sorted columns of pair p into per-union-row codes
-// (x1 * (v2max+1) + x2) * nbins + bin, and tally per-bin union occupancy.
-// Returns the number of union rows.
-int64_t merge_pair_codes(const int64_t* indptr, const int64_t* indices,
-                         const int64_t* data, const int32_t* bins,
-                         int32_t nbins, int64_t a, int64_t b,
-                         std::vector<int32_t>& x1, std::vector<int32_t>& x2,
-                         std::vector<int32_t>& ub,
-                         std::vector<int64_t>& nz_bin) {
-  x1.clear();
-  x2.clear();
-  ub.clear();
-  std::fill(nz_bin.begin(), nz_bin.end(), 0);
+// Beyond this many histogram slots per pair, fall back to sorting the merged
+// code list (values large enough to blow up the dense table are rare in UMI
+// count data; the fallback keeps the kernel exact for arbitrary inputs).
+constexpr int64_t kTableCap = int64_t(1) << 23;  // 8M slots = 64 MB int64
+
+// Per-thread lazily-grown histogram over code space; `touched` records the
+// codes hit for O(U) reset (same structure as compress.cpp's CodeHist).
+struct CodeHist {
+  std::vector<int64_t> hist;
+  std::vector<int64_t> touched;
+
+  void ensure(size_t n) {
+    if (hist.size() < n) hist.resize(n, 0);
+  }
+  inline void add(int64_t code) {
+    if (hist[code]++ == 0) touched.push_back(code);
+  }
+  void reset() {
+    for (int64_t c : touched) hist[c] = 0;
+    touched.clear();
+  }
+};
+
+// Merge the two sorted CSC columns of pair (a, b), calling visit(v1, v2, row)
+// for every union row.
+template <typename Visit>
+void merge_columns(const int64_t* indptr, const int64_t* indices,
+                   const int64_t* data, int64_t a, int64_t b, Visit&& visit) {
   int64_t ka = indptr[a], ea = indptr[a + 1];
   int64_t kb = indptr[b], eb = indptr[b + 1];
   if (a == b) {
-    for (; ka < ea; ++ka) {
-      const int32_t bin = bins[indices[ka]];
-      x1.push_back(static_cast<int32_t>(data[ka]));
-      x2.push_back(static_cast<int32_t>(data[ka]));
-      ub.push_back(bin);
-      nz_bin[bin]++;
-    }
-    return static_cast<int64_t>(x1.size());
+    for (; ka < ea; ++ka)
+      visit(static_cast<int32_t>(data[ka]), static_cast<int32_t>(data[ka]),
+            indices[ka]);
+    return;
   }
   while (ka < ea || kb < eb) {
     int64_t ra = ka < ea ? indices[ka] : INT64_MAX;
@@ -70,121 +91,131 @@ int64_t merge_pair_codes(const int64_t* indptr, const int64_t* indices,
       ++ka;
       ++kb;
     }
-    const int32_t bin = bins[row];
-    x1.push_back(v1);
-    x2.push_back(v2);
-    ub.push_back(bin);
-    nz_bin[bin]++;
+    visit(v1, v2, row);
   }
-  return static_cast<int64_t>(x1.size());
-}
-
-// Sorted codes of the union entries; `codes` is reused scratch.
-void build_codes(const std::vector<int32_t>& x1, const std::vector<int32_t>& x2,
-                 const std::vector<int32_t>& ub, int32_t nbins,
-                 std::vector<int64_t>& codes, int64_t* v2cap_out) {
-  int32_t v2max = 0;
-  for (int32_t v : x2)
-    if (v > v2max) v2max = v;
-  const int64_t v2cap = static_cast<int64_t>(v2max) + 1;
-  codes.resize(x1.size());
-  for (size_t i = 0; i < x1.size(); ++i)
-    codes[i] =
-        (static_cast<int64_t>(x1[i]) * v2cap + x2[i]) * nbins + ub[i];
-  std::sort(codes.begin(), codes.end());
-  *v2cap_out = v2cap;
 }
 
 }  // namespace
 
 extern "C" {
 
-// First pass: number of unique joint combos per pair (zero-zero bins +
-// distinct nonzero codes), to size the padded output tiles.
-void count_unique_pairs(int64_t n_cells, int64_t n_pairs, int32_t nbins,
-                        const int64_t* indptr, const int64_t* indices,
-                        const int64_t* data, const int32_t* bins,
-                        const int64_t* idx1, const int64_t* idx2,
-                        int32_t* n_unique) {
-  std::vector<int64_t> bin_total(nbins, 0);
-  for (int64_t c = 0; c < n_cells; ++c) bin_total[bins[c]]++;
-
-#pragma omp parallel
-  {
-    std::vector<int32_t> x1, x2, ub;
-    std::vector<int64_t> codes, nz_bin(nbins);
-#pragma omp for schedule(dynamic, 16)
-    for (int64_t p = 0; p < n_pairs; ++p) {
-      merge_pair_codes(indptr, indices, data, bins, nbins, idx1[p], idx2[p],
-                       x1, x2, ub, nz_bin);
-      int64_t v2cap;
-      build_codes(x1, x2, ub, nbins, codes, &v2cap);
-      int64_t n_nz = 0;
-      for (size_t i = 0; i < codes.size(); ++i)
-        if (i == 0 || codes[i] != codes[i - 1]) n_nz++;
-      int64_t zbins = 0;
-      for (int32_t b = 0; b < nbins; ++b)
-        if (bin_total[b] - nz_bin[b] > 0) zbins++;
-      n_unique[p] = static_cast<int32_t>(n_nz + zbins);
-    }
-  }
-}
-
-// Second pass: pack into padded [n_pairs, u_max] tiles.  sf_bin (optional,
-// may be null): uint8 compact-transport ids, 0 = padding, 1+b = sf bin b.
-void pack_unique_pairs_bins(int64_t n_cells, int64_t n_pairs, int32_t nbins,
-                            int64_t u_max, const int64_t* indptr,
+// Single pass: compress every pair into compact per-pair runs.
+//
+//   cap_off:   [n_pairs + 1] caller-computed output offsets; the span for
+//              pair p must hold >= nbins + nnz(idx1[p]) + nnz(idx2[p]) slots
+//              (a bound on zero-bins + unique nonzero combos).
+//   values_1/values_2/counts/inv_sf: compact f32 outputs, written at
+//              [cap_off[p], cap_off[p] + n_unique[p]).
+//   sf_bin:    optional (may be null) uint8 compact-transport bin ids,
+//              0 = padding, 1+b = sf bin b.
+//   n_unique:  [n_pairs] number of slots written per pair.
+void compress_pairs_compact(int64_t n_cells, int64_t n_genes, int64_t n_pairs,
+                            int32_t nbins, const int64_t* indptr,
                             const int64_t* indices, const int64_t* data,
                             const int32_t* bins, const double* bin_values,
                             const int64_t* idx1, const int64_t* idx2,
-                            float* values_1, float* values_2, float* counts,
-                            float* inv_sf, uint8_t* sf_bin) {
+                            const int64_t* cap_off, float* values_1,
+                            float* values_2, float* counts, float* inv_sf,
+                            uint8_t* sf_bin, int32_t* n_unique) {
   std::vector<int64_t> bin_total(nbins, 0);
   for (int64_t c = 0; c < n_cells; ++c) bin_total[bins[c]]++;
 
+  // max value per gene column actually used by some pair (-1 = unused):
+  // fixes each pair's code stride before its merge starts.
+  std::vector<int64_t> col_vmax(n_genes, -1);
+  for (int64_t p = 0; p < n_pairs; ++p) {
+    col_vmax[idx1[p]] = 0;
+    col_vmax[idx2[p]] = 0;
+  }
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t g = 0; g < n_genes; ++g) {
+    if (col_vmax[g] < 0) continue;
+    int64_t vmax = 0;
+    for (int64_t k = indptr[g]; k < indptr[g + 1]; ++k)
+      if (data[k] > vmax) vmax = data[k];
+    col_vmax[g] = vmax;
+  }
+
+  // per-thread inverse bin values (tiny, avoids a divide per slot)
+  std::vector<float> inv_bin(nbins);
+  for (int32_t b = 0; b < nbins; ++b)
+    inv_bin[b] = static_cast<float>(1.0 / bin_values[b]);
+
 #pragma omp parallel
   {
-    std::vector<int32_t> x1, x2, ub;
-    std::vector<int64_t> codes, nz_bin(nbins);
+    CodeHist h;
+    std::vector<int64_t> nz_bin(nbins);
+    std::vector<int64_t> sort_codes;  // fallback scratch
 #pragma omp for schedule(dynamic, 16)
     for (int64_t p = 0; p < n_pairs; ++p) {
-      merge_pair_codes(indptr, indices, data, bins, nbins, idx1[p], idx2[p],
-                       x1, x2, ub, nz_bin);
-      int64_t v2cap;
-      build_codes(x1, x2, ub, nbins, codes, &v2cap);
+      const int64_t a = idx1[p], b = idx2[p];
+      const int64_t v2cap = col_vmax[b] + 1;
+      const int64_t table = (col_vmax[a] + 1) * v2cap * nbins;
+      std::fill(nz_bin.begin(), nz_bin.end(), 0);
 
-      float* v1row = values_1 + p * u_max;
-      float* v2row = values_2 + p * u_max;
-      float* crow = counts + p * u_max;
-      float* srow = inv_sf + p * u_max;
-      uint8_t* brow = sf_bin ? sf_bin + p * u_max : nullptr;
+      const bool use_hist = table <= kTableCap;
+      if (use_hist) {
+        h.ensure(static_cast<size_t>(table));
+        merge_columns(indptr, indices, data, a, b,
+                      [&](int32_t v1, int32_t v2, int64_t row) {
+                        const int32_t bin = bins[row];
+                        nz_bin[bin]++;
+                        h.add((static_cast<int64_t>(v1) * v2cap + v2) * nbins +
+                              bin);
+                      });
+        std::sort(h.touched.begin(), h.touched.end());
+      } else {
+        sort_codes.clear();
+        merge_columns(indptr, indices, data, a, b,
+                      [&](int32_t v1, int32_t v2, int64_t row) {
+                        const int32_t bin = bins[row];
+                        nz_bin[bin]++;
+                        sort_codes.push_back(
+                            (static_cast<int64_t>(v1) * v2cap + v2) * nbins +
+                            bin);
+                      });
+        std::sort(sort_codes.begin(), sort_codes.end());
+      }
+
+      float* v1row = values_1 + cap_off[p];
+      float* v2row = values_2 + cap_off[p];
+      float* crow = counts + cap_off[p];
+      float* srow = inv_sf + cap_off[p];
+      uint8_t* brow = sf_bin ? sf_bin + cap_off[p] : nullptr;
       int64_t slot = 0;
-      for (int32_t b = 0; b < nbins; ++b) {
-        const int64_t z = bin_total[b] - nz_bin[b];
+      for (int32_t bb = 0; bb < nbins; ++bb) {
+        const int64_t z = bin_total[bb] - nz_bin[bb];
         if (z > 0) {
           v1row[slot] = 0.0f;
           v2row[slot] = 0.0f;
           crow[slot] = static_cast<float>(z);
-          srow[slot] = static_cast<float>(1.0 / bin_values[b]);
-          if (brow) brow[slot] = static_cast<uint8_t>(b + 1);
+          srow[slot] = inv_bin[bb];
+          if (brow) brow[slot] = static_cast<uint8_t>(bb + 1);
           slot++;
         }
       }
-      for (size_t i = 0; i < codes.size();) {
-        size_t j = i;
-        while (j < codes.size() && codes[j] == codes[i]) ++j;
-        const int64_t code = codes[i];
-        const int32_t b = static_cast<int32_t>(code % nbins);
+      auto emit = [&](int64_t code, int64_t count) {
+        const int32_t bb = static_cast<int32_t>(code % nbins);
         const int64_t xy = code / nbins;
         v1row[slot] = static_cast<float>(xy / v2cap);
         v2row[slot] = static_cast<float>(xy % v2cap);
-        crow[slot] = static_cast<float>(j - i);
-        srow[slot] = static_cast<float>(1.0 / bin_values[b]);
-        if (brow) brow[slot] = static_cast<uint8_t>(b + 1);
+        crow[slot] = static_cast<float>(count);
+        srow[slot] = inv_bin[bb];
+        if (brow) brow[slot] = static_cast<uint8_t>(bb + 1);
         slot++;
-        i = j;
+      };
+      if (use_hist) {
+        for (int64_t code : h.touched) emit(code, h.hist[code]);
+        h.reset();
+      } else {
+        for (size_t i = 0; i < sort_codes.size();) {
+          size_t j = i;
+          while (j < sort_codes.size() && sort_codes[j] == sort_codes[i]) ++j;
+          emit(sort_codes[i], static_cast<int64_t>(j - i));
+          i = j;
+        }
       }
-      // padding slots already initialized by the caller (counts 0, inv_sf 1)
+      n_unique[p] = static_cast<int32_t>(slot);
     }
   }
 }
