@@ -37,7 +37,7 @@ N_CELLS = int(os.environ.get("BENCH_CELLS", 200_000))
 N_GENES = int(os.environ.get("BENCH_GENES", 1024))
 NUM_BOOT = int(os.environ.get("BENCH_BOOT", 1000))
 TILE = int(os.environ.get("BENCH_TILE", 512))  # fixed tile: one compile, reused across pipelined tiles
-N_REPS = int(os.environ.get("BENCH_REPS", 3))
+N_REPS = int(os.environ.get("BENCH_REPS", 5))  # runs are seconds; warmup dominates
 # wall-clock budget: sub-benches are skipped once exceeded so a slow-tunnel
 # day still produces the headline number within the driver's patience
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", 3000))

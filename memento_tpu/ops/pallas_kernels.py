@@ -52,14 +52,25 @@ def _uniform_from_bits(bits):
 
 def _cascade_chunk_kernel(seed_ref, off_ref, rem_in_ref, sums_in_ref,
                           ratio_ref, lam_ref, ctail_ref, w_ref,
-                          rem_out_ref, sums_out_ref, *, u_dim, w_dim, b_pad,
-                          tau, n_bc, u_total):
+                          rem_out_ref, sums_out_ref, draws_ref, *, u_dim,
+                          w_dim, b_pad, tau, n_bc, u_total):
     """One (8-gene, b_pad-replicate) block over one U-chunk of the cascade.
 
     The carries (``remaining`` trials and the weighted sums) arrive as
     inputs and leave as (aliased) outputs, so chunks of arbitrary-U genes
     chain through a ``lax.scan`` — one compiled kernel serves every U.
     ``off_ref`` holds the chunk's global bin offset (PRNG stream index).
+
+    Per-bin work is PREDICATED on the 8-row block's occupancy (``pl.when``
+    on scalar column maxima), which is why the carries live in the output
+    refs rather than registers:
+      - bins whose 8 rows all have count 0 (ragged-U padding — typically
+        40-60% of a real tile's slots) cost only a column max + branch;
+      - all-small bins (lam < tau for every row, the common case for the
+        2D joint compression) skip the Box-Muller/Cornish-Fisher path;
+      - all-large bins skip the truncated-Poisson table loop.
+    Draws land in a VMEM scratch block so each predicated sub-branch can
+    contribute its rows without materializing both samplers.
     """
     # Distinct PRNG stream per (gene-row program, replicate-lane chunk, bin),
     # PROVABLY non-overlapping: each program (linear id over the 2-D grid)
@@ -71,80 +82,99 @@ def _cascade_chunk_kernel(seed_ref, off_ref, rem_in_ref, sums_in_ref,
     base_seed = seed_ref[0] + pid * jnp.int32(u_total)
     off = off_ref[0]
 
-    remaining = rem_in_ref[:, :]
-    sums = [sums_in_ref[wi * 8 : (wi + 1) * 8, :] for wi in range(w_dim)]
+    rem_out_ref[:, :] = rem_in_ref[:, :]
+    sums_out_ref[:, :] = sums_in_ref[:, :]
 
     for u in range(u_dim):  # static unroll — see module docstring
-        ratio = ratio_ref[:, u].reshape(8, 1)
         lam = lam_ref[:, u].reshape(8, 1)
-        ctail = ctail_ref[:, u].reshape(8, 1)
+        lam_max = jnp.max(lam)
 
-        # Reseed per bin and carve one wide draw into the three uniforms:
-        # repeated identical prng_random_bits expressions get CSE'd by the
-        # compiler (observed as perfectly correlated draws across bins).
-        pltpu.prng_seed(base_seed + off + jnp.int32(u))
-        bits = pltpu.prng_random_bits((8, 3 * b_pad))
-        u1 = _uniform_from_bits(bits[:, :b_pad])
-        u2 = _uniform_from_bits(bits[:, b_pad : 2 * b_pad])
-        u3 = _uniform_from_bits(bits[:, 2 * b_pad :])
+        @pl.when(lam_max > 0.0)
+        def _bin_body(u=u, lam=lam, lam_max=lam_max):
+            ratio = ratio_ref[:, u].reshape(8, 1)
+            ctail = ctail_ref[:, u].reshape(8, 1)
+            remaining = rem_out_ref[:, :]
 
-        # Gaussian branch (Box-Muller) with the Cornish-Fisher skew term and
-        # variance compensation — keeps the CLT boundary at tau=8 (see
-        # ops.sampling._approx_binomial_step, which this must match).
-        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-        m = remaining * ratio
-        gam = 1.0 - 2.0 * ratio
-        s = jnp.sqrt(jnp.maximum(
-            m * (1.0 - ratio) - gam * gam * (1.0 / 18.0) - 1.0 / 12.0, 0.0))
-        g = jnp.clip(jnp.round(m + s * z + gam * (z * z - 1.0) * (1.0 / 6.0)),
-                     0.0, remaining)
+            # Reseed per bin; sequential prng_random_bits calls inside the
+            # sub-branches continue this bin's stream (repeated identical
+            # draw expressions would get CSE'd by the compiler — observed
+            # as perfectly correlated draws across bins).
+            pltpu.prng_seed(base_seed + off + jnp.int32(u))
 
-        # Poisson-table branch with the CDF built iteratively in-register.
-        # The trip count is ADAPTIVE per bin: only lanes with lam < tau use
-        # the table (larger bins take the Gaussian branch and discard t), so
-        # the bound comes from the largest table-branch lam in this 8-row
-        # block — k = lam + 6*sqrt(lam) + 6 keeps P[X > k] < 1e-11 for all
-        # lam <= tau=8 (most real bins are either Gaussian-branch or tiny,
-        # so this typically cuts the 32-iteration worst case to ~0-15).
-        def table_step(k, carry):
-            t_acc, cdf, pmf = carry
-            t_acc = t_acc + (u3 > cdf).astype(jnp.float32)
-            pmf = pmf * lam / (k.astype(jnp.float32) + 1.0)
-            return t_acc, cdf + pmf, pmf
+            lam_tab = jnp.max(jnp.where(lam < tau, lam, 0.0))
+            need_gauss = lam_max >= tau   # any row on the Gaussian branch
+            need_table = lam_tab > 0.0    # any row on the table branch
+            # (~need_gauss implies need_table here: lam_max > 0 and < tau)
 
-        lam_tab = jnp.max(jnp.where(lam < tau, lam, 0.0))
-        n_iter = jnp.where(
-            lam_tab > 0.0,
-            jnp.minimum(
-                jnp.float32(_K_TABLE),
-                jnp.ceil(lam_tab + 6.0 * jnp.sqrt(lam_tab) + 6.0),
-            ),
-            0.0,
-        ).astype(jnp.int32)
-        pmf0 = jnp.exp(-lam) * jnp.ones((8, b_pad), jnp.float32)
-        t, _, _ = jax.lax.fori_loop(
-            0,
-            n_iter,
-            table_step,
-            (jnp.zeros((8, b_pad), jnp.float32), pmf0, pmf0),
-        )
-        # conditional-mean shift + variance rescale (see ops.sampling)
-        p_cond = lam / jnp.maximum(ctail, 1.0)
-        t = lam + (t - lam) * jnp.sqrt(jnp.maximum(1.0 - p_cond, 0.0))
-        t = t + ratio * (remaining - ctail)
-        t = jnp.clip(t, 0.0, remaining)
+            @pl.when(need_gauss)
+            def _gauss():
+                # Box-Muller with the Cornish-Fisher skew term and variance
+                # compensation — keeps the CLT boundary at tau=8 (see
+                # ops.sampling._approx_binomial_step, which this must match).
+                bits = pltpu.prng_random_bits((8, 2 * b_pad))
+                u1 = _uniform_from_bits(bits[:, :b_pad])
+                u2 = _uniform_from_bits(bits[:, b_pad:])
+                z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+                m = remaining * ratio
+                gam = 1.0 - 2.0 * ratio
+                s = jnp.sqrt(jnp.maximum(
+                    m * (1.0 - ratio) - gam * gam * (1.0 / 18.0) - 1.0 / 12.0,
+                    0.0))
+                g = jnp.clip(
+                    jnp.round(m + s * z + gam * (z * z - 1.0) * (1.0 / 6.0)),
+                    0.0, remaining)
+                # rows on the table branch get filled by _table below; rows
+                # with lam == 0 draw 0 (their ratio is 0)
+                draws_ref[:, :] = jnp.where(lam < tau, 0.0, g)
 
-        draws = jnp.where(lam < tau, t, g)
-        draws = jnp.where(ratio >= 1.0 - 1e-6, remaining, draws)
-        draws = jnp.where(ratio <= 0.0, jnp.zeros_like(draws), draws)
+            @pl.when(need_table)
+            def _table():
+                # Truncated-Poisson inverse-CDF built iteratively
+                # in-register.  The trip count is ADAPTIVE per bin: the
+                # bound comes from the largest table-branch lam in this
+                # 8-row block — k = lam + 6*sqrt(lam) + 6 keeps
+                # P[X > k] < 1e-11 for all lam <= tau=8.
+                bits3 = pltpu.prng_random_bits((8, b_pad))
+                u3 = _uniform_from_bits(bits3)
 
-        for wi in range(w_dim):
-            sums[wi] = sums[wi] + w_ref[:, u, wi].reshape(8, 1) * draws
-        remaining = remaining - draws
+                def table_step(k, carry):
+                    t_acc, cdf, pmf = carry
+                    t_acc = t_acc + (u3 > cdf).astype(jnp.float32)
+                    pmf = pmf * lam / (k.astype(jnp.float32) + 1.0)
+                    return t_acc, cdf + pmf, pmf
 
-    rem_out_ref[:, :] = remaining
-    for wi in range(w_dim):
-        sums_out_ref[wi * 8 : (wi + 1) * 8, :] = sums[wi]
+                n_iter = jnp.minimum(
+                    jnp.float32(_K_TABLE),
+                    jnp.ceil(lam_tab + 6.0 * jnp.sqrt(lam_tab) + 6.0),
+                ).astype(jnp.int32)
+                pmf0 = jnp.exp(-lam) * jnp.ones((8, b_pad), jnp.float32)
+                t, _, _ = jax.lax.fori_loop(
+                    0,
+                    n_iter,
+                    table_step,
+                    (jnp.zeros((8, b_pad), jnp.float32), pmf0, pmf0),
+                )
+                # conditional-mean shift + variance rescale (see ops.sampling)
+                p_cond = lam / jnp.maximum(ctail, 1.0)
+                t = lam + (t - lam) * jnp.sqrt(jnp.maximum(1.0 - p_cond, 0.0))
+                t = t + ratio * (remaining - ctail)
+                t = jnp.clip(t, 0.0, remaining)
+                # Gaussian rows (if any) were already written by _gauss;
+                # without a Gaussian row in the block every row is lam < tau,
+                # so the stale-ref side of the select is never chosen.
+                prev = draws_ref[:, :]
+                draws_ref[:, :] = jnp.where(lam < tau, t, prev)
+
+            draws = draws_ref[:, :]
+            draws = jnp.where(ratio >= 1.0 - 1e-6, remaining, draws)
+            draws = jnp.where(ratio <= 0.0, jnp.zeros_like(draws), draws)
+
+            for wi in range(w_dim):
+                sl = slice(wi * 8, (wi + 1) * 8)
+                sums_out_ref[sl, :] = (
+                    sums_out_ref[sl, :] + w_ref[:, u, wi].reshape(8, 1) * draws
+                )
+            rem_out_ref[:, :] = remaining - draws
 
 
 # U bins processed per kernel launch: bounds the static unroll (compile
@@ -203,6 +233,18 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
         counts = jnp.pad(counts, ((0, t_pad - t_dim), (0, 0)))
         weights = jnp.pad(weights, ((0, t_pad - t_dim), (0, 0), (0, 0)))
         n_rows = jnp.pad(n_rows, (0, t_pad - t_dim), constant_values=1.0)
+
+    # The kernel predicates each bin on its 8-row block's occupancy
+    # (pl.when in _cascade_chunk_kernel), but one long row keeps every bin
+    # of its block alive — so group rows of similar length: sort rows by
+    # occupied-slot count (compression emits real combos as a prefix), run
+    # the kernel on the sorted tile, and un-permute the output.  Cost is a
+    # [T] argsort + gathers, noise next to the sampling itself.
+    row_order = jnp.argsort((counts > 0).sum(axis=1))
+    inv_order = jnp.argsort(row_order)
+    counts = counts[row_order]
+    weights = weights[row_order]
+    n_rows = n_rows[row_order]
 
     chunk = min(PALLAS_CHUNK, u_dim)
     u_pad = ((u_dim + chunk - 1) // chunk) * chunk
@@ -277,6 +319,7 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
             jax.ShapeDtypeStruct((t_pad, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((t_pad * w_dim, b_pad), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((8, b_chunk), jnp.float32)],  # draws
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
     )
@@ -293,6 +336,7 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
     # [t_pad * W, b_pad] with per-program [8*W] rows -> [T, W, B]
     out = out.reshape(t_pad // 8, w_dim, 8, b_pad).transpose(0, 2, 1, 3)
     out = out.reshape(t_pad, w_dim, b_pad)
+    out = out[inv_order]  # undo the occupancy sort
     return out[:t_dim, :, :num_boot]
 
 
