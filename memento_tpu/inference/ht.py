@@ -816,18 +816,20 @@ def run_ht_1d(
         n = stop - start
         sl = slice(start, stop)
         for stat in ("mean", "var"):
-            coef = np.asarray(res[f"{stat}_coef"])[:n]
-            se = np.asarray(res[f"{stat}_se"])[:n]
-            pval = np.asarray(res[f"{stat}_pval"])[:n]
+            with profiling.phase("ht1d.harvest"):
+                coef = np.asarray(res[f"{stat}_coef"])[:n]
+                se = np.asarray(res[f"{stat}_se"])[:n]
+                pval = np.asarray(res[f"{stat}_pval"])[:n]
             if not approx:
-                needs = np.asarray(res[f"{stat}_needs_gev"])[:n]
-                if needs.any():
-                    # gather only the flagged rows on device — transferring
-                    # the full [T, Kt, B+1] tensor would dominate wall time
-                    # on links like the TPU tunnel
-                    gi, gk = np.nonzero(needs)
-                    rows = np.asarray(res[f"{stat}_coef_full"][gi, gk])
-                    pval = _refine_rows(rows, gi, gk, pval, resampling)
+                with profiling.phase("ht1d.gev"):
+                    needs = np.asarray(res[f"{stat}_needs_gev"])[:n]
+                    if needs.any():
+                        # gather only the flagged rows on device —
+                        # transferring the full [T, Kt, B+1] tensor would
+                        # dominate wall time on links like the TPU tunnel
+                        gi, gk = np.nonzero(needs)
+                        rows = np.asarray(res[f"{stat}_coef_full"][gi, gk])
+                        pval = _refine_rows(rows, gi, gk, pval, resampling)
             out[f"{stat}_coef"][sl] = coef
             out[f"{stat}_se"][sl] = se
             out[f"{stat}_pval"][sl] = pval
@@ -853,21 +855,22 @@ def run_ht_1d(
         else:
             treat_tile = np.broadcast_to(treatment, (stop - start, r, kt))
             treat_tile = _pad_axis(treat_tile, t, 0)
-        tile_args = (
-            fold_key(key, start),
-            jnp.asarray(values),
-            jnp.asarray(counts),
-            jnp.asarray(isf),
-            jnp.asarray(isf2),
-            jnp.asarray(nuq),
-            jnp.asarray(_pad_axis(true_mean[:, sl], t, 1, fill=np.nan)),
-            jnp.asarray(_pad_axis(true_res_var[:, sl], t, 1, fill=np.nan)),
-            jnp.asarray(mv_coeffs, dtype=jnp.float32),
-            jnp.asarray(q, dtype=jnp.float32),
-            jnp.asarray(n_obs),
-            jnp.asarray(covariate, dtype=jnp.float32),
-            jnp.asarray(treat_tile, dtype=jnp.float32),
-        )
+        with profiling.phase("ht1d.transfer"):
+            tile_args = (
+                fold_key(key, start),
+                jnp.asarray(values),
+                jnp.asarray(counts),
+                jnp.asarray(isf),
+                jnp.asarray(isf2),
+                jnp.asarray(nuq),
+                jnp.asarray(_pad_axis(true_mean[:, sl], t, 1, fill=np.nan)),
+                jnp.asarray(_pad_axis(true_res_var[:, sl], t, 1, fill=np.nan)),
+                jnp.asarray(mv_coeffs, dtype=jnp.float32),
+                jnp.asarray(q, dtype=jnp.float32),
+                jnp.asarray(n_obs),
+                jnp.asarray(covariate, dtype=jnp.float32),
+                jnp.asarray(treat_tile, dtype=jnp.float32),
+            )
         os_kw = {}
         if os_vec is not None:
             os_tile = jnp.asarray(_pad_axis(os_vec[sl], t, 0, False))
@@ -885,20 +888,21 @@ def run_ht_1d(
                 os_kw["one_sample_vec"] = jax.device_put(
                     os_kw["one_sample_vec"], NamedSharding(mesh, P("model"))
                 )
-        res = ht_1d_tile(
-            *tile_args,
-            **os_kw,
-            num_boot=num_boot,
-            model=model,
-            sampler=tile_sampler,
-            one_sample=one_sample,
-            resampling=resampling,
-            approx=approx,
-            resample_rep=resample_rep,
-            boot_chunk=min(boot_chunk, num_boot),
-            custom_1d=custom_1d,
-            sf_binned=binned,
-        )
+        with profiling.phase("ht1d.dispatch"):
+            res = ht_1d_tile(
+                *tile_args,
+                **os_kw,
+                num_boot=num_boot,
+                model=model,
+                sampler=tile_sampler,
+                one_sample=one_sample,
+                resampling=resampling,
+                approx=approx,
+                resample_rep=resample_rep,
+                boot_chunk=min(boot_chunk, num_boot),
+                custom_1d=custom_1d,
+                sf_binned=binned,
+            )
         pending.append((start, stop, res))
         while len(pending) > max_pending:
             harvest(*pending.pop(0))
@@ -1033,15 +1037,17 @@ def run_ht_2d(
     def harvest(start, stop, res):
         n = stop - start
         sl = slice(start, stop)
-        coef = np.asarray(res["corr_coef"])[:n]
-        se = np.asarray(res["corr_se"])[:n]
-        pval = np.asarray(res["corr_pval"])[:n]
+        with profiling.phase("ht2d.harvest"):
+            coef = np.asarray(res["corr_coef"])[:n]
+            se = np.asarray(res["corr_se"])[:n]
+            pval = np.asarray(res["corr_pval"])[:n]
         if not approx:
-            needs = np.asarray(res["corr_needs_gev"])[:n]
-            if needs.any():
-                gi, gk = np.nonzero(needs)
-                rows = np.asarray(res["corr_coef_full"][gi, gk])
-                pval = _refine_rows(rows, gi, gk, pval, resampling)
+            with profiling.phase("ht2d.gev"):
+                needs = np.asarray(res["corr_needs_gev"])[:n]
+                if needs.any():
+                    gi, gk = np.nonzero(needs)
+                    rows = np.asarray(res["corr_coef_full"][gi, gk])
+                    pval = _refine_rows(rows, gi, gk, pval, resampling)
         out["corr_coef"][sl] = coef
         out["corr_se"][sl] = se
         out["corr_pval"][sl] = pval
@@ -1062,19 +1068,20 @@ def run_ht_2d(
         else:
             treat_tile = np.broadcast_to(treatment, (stop - start, r, kt))
             treat_tile = _pad_axis(treat_tile, t, 0)
-        tile_args = (
-            fold_key(key, start),
-            jnp.asarray(v1),
-            jnp.asarray(v2),
-            jnp.asarray(cnt),
-            jnp.asarray(isf),
-            jnp.asarray(isf2),
-            jnp.asarray(_pad_axis(true_corr[:, sl], t, 1, fill=np.nan)),
-            jnp.asarray(q, dtype=jnp.float32),
-            jnp.asarray(n_obs),
-            jnp.asarray(covariate, dtype=jnp.float32),
-            jnp.asarray(treat_tile, dtype=jnp.float32),
-        )
+        with profiling.phase("ht2d.transfer"):
+            tile_args = (
+                fold_key(key, start),
+                jnp.asarray(v1),
+                jnp.asarray(v2),
+                jnp.asarray(cnt),
+                jnp.asarray(isf),
+                jnp.asarray(isf2),
+                jnp.asarray(_pad_axis(true_corr[:, sl], t, 1, fill=np.nan)),
+                jnp.asarray(q, dtype=jnp.float32),
+                jnp.asarray(n_obs),
+                jnp.asarray(covariate, dtype=jnp.float32),
+                jnp.asarray(treat_tile, dtype=jnp.float32),
+            )
         os_kw = {}
         if os_vec is not None:
             os_kw["one_sample_vec"] = jnp.asarray(
@@ -1093,19 +1100,20 @@ def run_ht_2d(
                 os_kw["one_sample_vec"] = jax.device_put(
                     os_kw["one_sample_vec"], NamedSharding(mesh, P("model"))
                 )
-        res = ht_2d_tile(
-            *tile_args,
-            num_boot=num_boot,
-            model=model,
-            sampler=tile_sampler,
-            one_sample=one_sample,
-            resampling=resampling,
-            approx=approx,
-            resample_rep=resample_rep,
-            boot_chunk=min(boot_chunk, num_boot),
-            custom_est=custom_est,
-            sf_binned=binned,
-        )
+        with profiling.phase("ht2d.dispatch"):
+            res = ht_2d_tile(
+                *tile_args,
+                num_boot=num_boot,
+                model=model,
+                sampler=tile_sampler,
+                one_sample=one_sample,
+                resampling=resampling,
+                approx=approx,
+                resample_rep=resample_rep,
+                boot_chunk=min(boot_chunk, num_boot),
+                custom_est=custom_est,
+                sf_binned=binned,
+            )
         pending.append((start, stop, res))
         while len(pending) > max_pending:
             harvest(*pending.pop(0))
