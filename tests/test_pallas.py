@@ -60,6 +60,27 @@ def test_pallas_per_row_n_interpret(rng):
         np.testing.assert_allclose(sums[i, 0, :], n_rows[i], rtol=1e-5)
 
 
+def test_pallas_all_small_bins_interpret(rng):
+    """Tiles whose occupied bins are all below the CLT boundary exercise the
+    table-only predicated branch (no Gaussian rows anywhere in a block);
+    ragged zero tails exercise the block-skip predicate.  Conservation must
+    still be exact through the branch selection."""
+    t, u = 8, 48
+    counts = np.zeros((t, u), np.float32)
+    for i in range(t):
+        k = int(rng.integers(12, u))  # ragged occupancy
+        counts[i, :k] = rng.integers(1, 7, size=k).astype(np.float32)  # < tau
+    n_rows = counts.sum(axis=1)
+    w = np.ones((t, u, 2), np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        sums = np.asarray(
+            fused_bootstrap_sums_pallas(jax.random.key(0), counts, w,
+                                        jnp.asarray(n_rows), 70)
+        )
+    for i in range(t):
+        np.testing.assert_allclose(sums[i, :, :], n_rows[i], rtol=1e-5)
+
+
 @pytest.mark.skipif(not ON_TPU, reason="real TPU PRNG required")
 def test_pallas_matches_cascade_distribution(rng):
     from memento_tpu.ops.sampling import fused_bootstrap_sums
