@@ -238,15 +238,26 @@ def _compress_pairs_native(X, approx_sf, idx1, idx2, pad_multiple=8, min_u=8):
     from ..ops.size_factor import factorize_approx_sf
 
     X = X.tocsc() if sparse.issparse(X) else sparse.csc_matrix(X)
-    if not bool(X.has_sorted_indices):
-        X.sort_indices()
     n_cells, n_genes = X.shape
     bin_values, bin_ids = factorize_approx_sf(approx_sf)
     nbins = len(bin_values)
 
-    indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
-    indices = np.ascontiguousarray(X.indices, dtype=np.int64)
-    data = np.ascontiguousarray(np.round(X.data), dtype=np.int64)
+    # The tiled 2D orchestrator calls this once per pair tile with the SAME
+    # full group matrix — at atlas scale the int64 conversions below are
+    # gigabytes, so cache them on the matrix object across calls.
+    prep = getattr(X, "_memento_pairs_prep", None)
+    if prep is None:
+        if not bool(X.has_sorted_indices):
+            X.sort_indices()
+        indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(X.indices, dtype=np.int64)
+        data = np.ascontiguousarray(np.round(X.data), dtype=np.int64)
+        try:
+            X._memento_pairs_prep = (indptr, indices, data)
+        except AttributeError:  # exotic matrix subclasses without __dict__
+            pass
+    else:
+        indptr, indices, data = prep
     bins = np.ascontiguousarray(bin_ids, dtype=np.int32)
     binvals = np.ascontiguousarray(bin_values, dtype=np.float64)
     i1 = np.ascontiguousarray(np.asarray(idx1, dtype=np.int64))
