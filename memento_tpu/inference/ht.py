@@ -840,6 +840,10 @@ def run_ht_1d(
     # buffers stay O(window), not O(G/tile_size)
     progress = profiling.ProgressReporter(g, unit="genes", label="ht1d",
                                           enabled=bool(verbose))
+    progress.note(
+        f"{g} genes in tiles of {tile_size}; the first tile compiles on "
+        "first use (can take minutes on remote-compile backends)"
+    )
     pending = []
     for start in range(0, g, tile_size):
         stop = min(start + tile_size, g)
@@ -1055,6 +1059,10 @@ def run_ht_2d(
 
     progress = profiling.ProgressReporter(p, unit="pairs", label="ht2d",
                                           enabled=bool(verbose))
+    progress.note(
+        f"{p} pairs in tiles of {tile_size}; the first tile compiles on "
+        "first use (can take minutes on remote-compile backends)"
+    )
     pending = []
     for start in range(0, p, tile_size):
         stop = min(start + tile_size, p)

@@ -97,6 +97,11 @@ class ProgressReporter:
         self._last_print = self._t0
         self._file = sys.stderr
 
+    def note(self, msg: str) -> None:
+        """One-off status line (e.g. 'first tile compiling') when enabled."""
+        if self.enabled:
+            print(f"[{self.label}] {msg}", file=self._file, flush=True)
+
     def update(self, n: int) -> None:
         """Record ``n`` more completed items; print at most every every_s."""
         self.done += int(n)
