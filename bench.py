@@ -105,17 +105,13 @@ def timed_reps(fn, n_reps, label, per_unit, n_units):
 def main():
     import jax
 
-    # persistent compile cache (helps helper ops; the main executables are
-    # cached server-side under the remote-compile backend)
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
-        # 0.1: the dozens of helper jits (threefry, convert_element_type, ...)
-        # each compile in ~0.35 s through the remote-compile RPC; caching them
-        # shaves ~10 s off every cold process
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-    except Exception:
-        pass
+    from memento_tpu.utils import enable_compile_cache
+
+    # ships pre-warmed with the bench-shape executables: a cold process
+    # warms in ~15 s instead of minutes of remote compiles
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
 
     from memento_tpu.inference.ht import run_ht_1d, run_ht_2d
     from memento_tpu.ops.corr import cov_sparse_pairs

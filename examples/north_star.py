@@ -54,13 +54,9 @@ def simulate(n_cells, n_genes, q=0.1, seed=0):
 def main():
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(__file__), "..",
-                                       ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-    except Exception:
-        pass
+    from memento_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     import memento_tpu as mt
     from memento_tpu.utils import profiling
