@@ -366,7 +366,11 @@ def suffstats_csr_native(X, size_factor):
         return None
     indptr, indices, data = arrs
     n, g = X.shape
-    inv_sf = np.ascontiguousarray(1.0 / np.asarray(size_factor, np.float64))
+    # a zero size factor only occurs for an all-zero cell (sf = total
+    # counts), whose sparse row is empty — the inf reciprocal is never read
+    with np.errstate(divide="ignore"):
+        inv_sf = np.ascontiguousarray(
+            1.0 / np.asarray(size_factor, np.float64))
     s1 = np.empty(g, np.float64)
     s2 = np.empty(g, np.float64)
     s1sq = np.empty(g, np.float64)
@@ -398,7 +402,11 @@ def suffstats_csc_native(X, size_factor):
     indices = np.ascontiguousarray(X.indices, dtype=np.int32)
     data = np.ascontiguousarray(X.data, dtype=np.float32)
     g = X.shape[1]
-    inv_sf = np.ascontiguousarray(1.0 / np.asarray(size_factor, np.float64))
+    # a zero size factor only occurs for an all-zero cell (sf = total
+    # counts), whose sparse row is empty — the inf reciprocal is never read
+    with np.errstate(divide="ignore"):
+        inv_sf = np.ascontiguousarray(
+            1.0 / np.asarray(size_factor, np.float64))
     s1 = np.empty(g, np.float64)
     s2 = np.empty(g, np.float64)
     s1sq = np.empty(g, np.float64)

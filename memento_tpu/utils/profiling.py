@@ -63,10 +63,13 @@ def reset_timings() -> None:
 
 def report(file=None) -> str:
     """Human-readable phase report."""
-    lines = [f"{'phase':<32}{'count':>8}{'total(s)':>12}{'mean(s)':>12}"]
+    lines = [
+        f"{'phase':<32}{'count':>8}{'total(s)':>12}{'mean(s)':>12}{'max(s)':>12}"
+    ]
     for name, s in sorted(timings().items(), key=lambda kv: -kv[1]["total_s"]):
         lines.append(
-            f"{name:<32}{s['count']:>8}{s['total_s']:>12.3f}{s['mean_s']:>12.4f}"
+            f"{name:<32}{s['count']:>8}{s['total_s']:>12.3f}"
+            f"{s['mean_s']:>12.4f}{s['max_s']:>12.3f}"
         )
     text = "\n".join(lines)
     if file is not None:

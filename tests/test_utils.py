@@ -51,6 +51,9 @@ def test_profiling_phases():
     assert t["beta"]["count"] == 1
     rep = profiling.report()
     assert "alpha" in rep and "beta" in rep
+    # max(s) column distinguishes one slow (compile) call from uniform
+    # per-tile overhead when attributing orchestrator phases
+    assert "max(s)" in rep
 
 
 def test_fdrcorrection_matches_bh():
