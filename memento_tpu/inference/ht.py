@@ -18,6 +18,7 @@ semantics").
 from __future__ import annotations
 
 import functools
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
 
 import jax
@@ -902,71 +903,86 @@ def run_ht_1d(
     )
     pending = []
     gev_worker = _DeferredGEV("ht1d.gev.refine")
-    for start in range(0, g, tile_size):
-        stop = min(start + tile_size, g)
-        t = tile_size
-        sl = slice(start, stop)
+    starts = list(range(0, g, tile_size))
+
+    def _pack(start):
         with profiling.phase("ht1d.compress+pack"):
-            values, counts, isf, isf2, nuq, binned = tile_inputs(
-                start, stop, t
-            )
-        tile_sampler = _resolve_sampler(sampler, counts.shape[-1], mesh=mesh)
-        if per_gene_treatment:
-            treat_tile = _pad_axis(treatment[sl], t, 0)
-        else:
-            treat_tile = np.broadcast_to(treatment, (stop - start, r, kt))
-            treat_tile = _pad_axis(treat_tile, t, 0)
-        with profiling.phase("ht1d.transfer"):
-            tile_args = (
-                fold_key(key, start),
-                jnp.asarray(values),
-                jnp.asarray(counts),
-                jnp.asarray(isf),
-                jnp.asarray(isf2),
-                jnp.asarray(nuq),
-                jnp.asarray(_pad_axis(true_mean[:, sl], t, 1, fill=np.nan)),
-                jnp.asarray(_pad_axis(true_res_var[:, sl], t, 1, fill=np.nan)),
-                jnp.asarray(mv_coeffs, dtype=jnp.float32),
-                jnp.asarray(q, dtype=jnp.float32),
-                jnp.asarray(n_obs),
-                jnp.asarray(covariate, dtype=jnp.float32),
-                jnp.asarray(treat_tile, dtype=jnp.float32),
-            )
-        os_kw = {}
-        if os_vec is not None:
-            os_tile = jnp.asarray(_pad_axis(os_vec[sl], t, 0, False))
-            os_kw["one_sample_vec"] = os_tile
-        if mesh is not None:
-            from ..parallel.sharded import HT1D_GENE_AXES, shard_ht_inputs
+            return tile_inputs(start, min(start + tile_size, g), tile_size)
 
-            gene_axes = dict(HT1D_GENE_AXES)
-            if binned:  # inv_sf_sq is the [R, NB] table: no gene axis
-                gene_axes.pop(4, None)
-            tile_args = shard_ht_inputs(mesh, tile_args, gene_axes)
-            if os_vec is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                os_kw["one_sample_vec"] = jax.device_put(
-                    os_kw["one_sample_vec"], NamedSharding(mesh, P("model"))
+    # single prefetch thread: compression of tile t+1 overlaps the blocking
+    # waits of tile t (first-tile compile/cache-deserialize inside dispatch,
+    # device wait inside harvest) that otherwise leave the host idle; the
+    # native compressors release the GIL so the overlap is real
+    prefetch = ThreadPoolExecutor(1, thread_name_prefix="ht1d-pack")
+    try:
+        fut = prefetch.submit(_pack, starts[0]) if starts else None
+        for i, start in enumerate(starts):
+            stop = min(start + tile_size, g)
+            t = tile_size
+            sl = slice(start, stop)
+            values, counts, isf, isf2, nuq, binned = fut.result()
+            fut = (prefetch.submit(_pack, starts[i + 1])
+                   if i + 1 < len(starts) else None)
+            tile_sampler = _resolve_sampler(sampler, counts.shape[-1],
+                                            mesh=mesh)
+            if per_gene_treatment:
+                treat_tile = _pad_axis(treatment[sl], t, 0)
+            else:
+                treat_tile = np.broadcast_to(treatment, (stop - start, r, kt))
+                treat_tile = _pad_axis(treat_tile, t, 0)
+            with profiling.phase("ht1d.transfer"):
+                tile_args = (
+                    fold_key(key, start),
+                    jnp.asarray(values),
+                    jnp.asarray(counts),
+                    jnp.asarray(isf),
+                    jnp.asarray(isf2),
+                    jnp.asarray(nuq),
+                    jnp.asarray(_pad_axis(true_mean[:, sl], t, 1, fill=np.nan)),
+                    jnp.asarray(_pad_axis(true_res_var[:, sl], t, 1, fill=np.nan)),
+                    jnp.asarray(mv_coeffs, dtype=jnp.float32),
+                    jnp.asarray(q, dtype=jnp.float32),
+                    jnp.asarray(n_obs),
+                    jnp.asarray(covariate, dtype=jnp.float32),
+                    jnp.asarray(treat_tile, dtype=jnp.float32),
                 )
-        with profiling.phase("ht1d.dispatch"):
-            res = ht_1d_tile(
-                *tile_args,
-                **os_kw,
-                num_boot=num_boot,
-                model=model,
-                sampler=tile_sampler,
-                one_sample=one_sample,
-                resampling=resampling,
-                approx=approx,
-                resample_rep=resample_rep,
-                boot_chunk=min(boot_chunk, num_boot),
-                custom_1d=custom_1d,
-                sf_binned=binned,
-            )
-        pending.append((start, stop, res))
-        while len(pending) > max_pending:
-            harvest(*pending.pop(0))
+            os_kw = {}
+            if os_vec is not None:
+                os_tile = jnp.asarray(_pad_axis(os_vec[sl], t, 0, False))
+                os_kw["one_sample_vec"] = os_tile
+            if mesh is not None:
+                from ..parallel.sharded import HT1D_GENE_AXES, shard_ht_inputs
+
+                gene_axes = dict(HT1D_GENE_AXES)
+                if binned:  # inv_sf_sq is the [R, NB] table: no gene axis
+                    gene_axes.pop(4, None)
+                tile_args = shard_ht_inputs(mesh, tile_args, gene_axes)
+                if os_vec is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    os_kw["one_sample_vec"] = jax.device_put(
+                        os_kw["one_sample_vec"], NamedSharding(mesh, P("model"))
+                    )
+            with profiling.phase("ht1d.dispatch"):
+                res = ht_1d_tile(
+                    *tile_args,
+                    **os_kw,
+                    num_boot=num_boot,
+                    model=model,
+                    sampler=tile_sampler,
+                    one_sample=one_sample,
+                    resampling=resampling,
+                    approx=approx,
+                    resample_rep=resample_rep,
+                    boot_chunk=min(boot_chunk, num_boot),
+                    custom_1d=custom_1d,
+                    sf_binned=binned,
+                )
+            pending.append((start, stop, res))
+            while len(pending) > max_pending:
+                harvest(*pending.pop(0))
+    finally:
+        prefetch.shutdown(wait=True, cancel_futures=True)
 
     for item in pending:
         harvest(*item)
@@ -1127,67 +1143,82 @@ def run_ht_2d(
     )
     pending = []
     gev_worker = _DeferredGEV("ht2d.gev.refine")
-    for start in range(0, p, tile_size):
-        stop = min(start + tile_size, p)
-        t = tile_size
-        sl = slice(start, stop)
+    starts = list(range(0, p, tile_size))
+
+    def _pack(start):
         with profiling.phase("ht2d.compress+pack"):
-            v1, v2, cnt, isf, isf2, binned = tile_inputs(start, stop, t)
-        tile_sampler = _resolve_sampler(sampler, cnt.shape[-1], mesh=mesh)
-        if per_pair_treatment:
-            treat_tile = _pad_axis(treatment[sl], t, 0)
-        else:
-            treat_tile = np.broadcast_to(treatment, (stop - start, r, kt))
-            treat_tile = _pad_axis(treat_tile, t, 0)
-        with profiling.phase("ht2d.transfer"):
-            tile_args = (
-                fold_key(key, start),
-                jnp.asarray(v1),
-                jnp.asarray(v2),
-                jnp.asarray(cnt),
-                jnp.asarray(isf),
-                jnp.asarray(isf2),
-                jnp.asarray(_pad_axis(true_corr[:, sl], t, 1, fill=np.nan)),
-                jnp.asarray(q, dtype=jnp.float32),
-                jnp.asarray(n_obs),
-                jnp.asarray(covariate, dtype=jnp.float32),
-                jnp.asarray(treat_tile, dtype=jnp.float32),
-            )
-        os_kw = {}
-        if os_vec is not None:
-            os_kw["one_sample_vec"] = jnp.asarray(
-                _pad_axis(os_vec[sl], t, 0, False)
-            )
-        if mesh is not None:
-            from ..parallel.sharded import HT2D_PAIR_AXES, shard_ht_inputs
+            return tile_inputs(start, min(start + tile_size, p), tile_size)
 
-            pair_axes = dict(HT2D_PAIR_AXES)
-            if binned:  # inv_sf_sq is the [R, NB] table: no pair axis
-                pair_axes.pop(5, None)
-            tile_args = shard_ht_inputs(mesh, tile_args, pair_axes)
-            if os_vec is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                os_kw["one_sample_vec"] = jax.device_put(
-                    os_kw["one_sample_vec"], NamedSharding(mesh, P("model"))
+    # single prefetch thread, as in run_ht_1d: joint pair compression of
+    # tile t+1 overlaps tile t's blocking dispatch/harvest waits
+    prefetch = ThreadPoolExecutor(1, thread_name_prefix="ht2d-pack")
+    try:
+        fut = prefetch.submit(_pack, starts[0]) if starts else None
+        for i, start in enumerate(starts):
+            stop = min(start + tile_size, p)
+            t = tile_size
+            sl = slice(start, stop)
+            v1, v2, cnt, isf, isf2, binned = fut.result()
+            fut = (prefetch.submit(_pack, starts[i + 1])
+                   if i + 1 < len(starts) else None)
+            tile_sampler = _resolve_sampler(sampler, cnt.shape[-1],
+                                            mesh=mesh)
+            if per_pair_treatment:
+                treat_tile = _pad_axis(treatment[sl], t, 0)
+            else:
+                treat_tile = np.broadcast_to(treatment, (stop - start, r, kt))
+                treat_tile = _pad_axis(treat_tile, t, 0)
+            with profiling.phase("ht2d.transfer"):
+                tile_args = (
+                    fold_key(key, start),
+                    jnp.asarray(v1),
+                    jnp.asarray(v2),
+                    jnp.asarray(cnt),
+                    jnp.asarray(isf),
+                    jnp.asarray(isf2),
+                    jnp.asarray(_pad_axis(true_corr[:, sl], t, 1, fill=np.nan)),
+                    jnp.asarray(q, dtype=jnp.float32),
+                    jnp.asarray(n_obs),
+                    jnp.asarray(covariate, dtype=jnp.float32),
+                    jnp.asarray(treat_tile, dtype=jnp.float32),
                 )
-        with profiling.phase("ht2d.dispatch"):
-            res = ht_2d_tile(
-                *tile_args,
-                num_boot=num_boot,
-                model=model,
-                sampler=tile_sampler,
-                one_sample=one_sample,
-                resampling=resampling,
-                approx=approx,
-                resample_rep=resample_rep,
-                boot_chunk=min(boot_chunk, num_boot),
-                custom_est=custom_est,
-                sf_binned=binned,
-            )
-        pending.append((start, stop, res))
-        while len(pending) > max_pending:
-            harvest(*pending.pop(0))
+            os_kw = {}
+            if os_vec is not None:
+                os_kw["one_sample_vec"] = jnp.asarray(
+                    _pad_axis(os_vec[sl], t, 0, False)
+                )
+            if mesh is not None:
+                from ..parallel.sharded import HT2D_PAIR_AXES, shard_ht_inputs
+
+                pair_axes = dict(HT2D_PAIR_AXES)
+                if binned:  # inv_sf_sq is the [R, NB] table: no pair axis
+                    pair_axes.pop(5, None)
+                tile_args = shard_ht_inputs(mesh, tile_args, pair_axes)
+                if os_vec is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    os_kw["one_sample_vec"] = jax.device_put(
+                        os_kw["one_sample_vec"], NamedSharding(mesh, P("model"))
+                    )
+            with profiling.phase("ht2d.dispatch"):
+                res = ht_2d_tile(
+                    *tile_args,
+                    num_boot=num_boot,
+                    model=model,
+                    sampler=tile_sampler,
+                    one_sample=one_sample,
+                    resampling=resampling,
+                    approx=approx,
+                    resample_rep=resample_rep,
+                    boot_chunk=min(boot_chunk, num_boot),
+                    custom_est=custom_est,
+                    sf_binned=binned,
+                )
+            pending.append((start, stop, res))
+            while len(pending) > max_pending:
+                harvest(*pending.pop(0))
+    finally:
+        prefetch.shutdown(wait=True, cancel_futures=True)
 
     for item in pending:
         harvest(*item)
