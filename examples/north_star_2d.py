@@ -104,12 +104,21 @@ def main():
     finite = float(np.isfinite(res.corr_pval.values).mean())
     log(f"finite corr_pvals: {finite:.4f}")
 
+    # as in north_star.py: the first dispatch carries the one-off compile /
+    # cache-deserialize cost; steady state nets it out
+    from memento_tpu.utils import profiling
+    first_dispatch = profiling.timings().get(
+        "ht2d.dispatch", {}).get("max_s", 0.0)
+    steady_s = max(phases["ht_2d"] - first_dispatch, 1e-9)
+
     print(json.dumps({
         "config": {"cells": N_CELLS, "genes": N_GENES, "pairs": N_PAIRS,
                    "num_boot": NUM_BOOT},
         "phases_s": {k: round(v, 2) for k, v in phases.items()},
         "ht_pairs_per_s": round(N_PAIRS / phases["ht_2d"], 2),
         "ms_per_pair": round(phases["ht_2d"] / N_PAIRS * 1000, 3),
+        "ht_first_dispatch_s": round(first_dispatch, 2),
+        "ht_steady_pairs_per_s": round(N_PAIRS / steady_s, 2),
         "finite_pval_frac": finite,
     }))
 
