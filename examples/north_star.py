@@ -121,7 +121,7 @@ def main():
     # one-off compile / persistent-cache-deserialize cost (dispatch total ~=
     # dispatch max: all later tiles dispatch asynchronously in ~0 s)
     first_dispatch = profiling.timings().get(
-        "ht1d.dispatch", {}).get("max_s", 0.0)
+        "ht1d.dispatch", {}).get("first_s", 0.0)
     steady_s = max(phases["ht_1d"] - first_dispatch, 1e-9)
 
     print(json.dumps({

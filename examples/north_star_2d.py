@@ -92,6 +92,9 @@ def main():
     treatment = pd.DataFrame(
         {"tx": groups["condition"].astype(int).values}, index=groups.index)
 
+    from memento_tpu.utils import profiling
+    profiling.reset_timings()
+
     t = time.time()
     mt.ht_2d_moments(adata, covariate=covariate, treatment=treatment,
                      num_boot=NUM_BOOT, resampling="bootstrap",
@@ -105,10 +108,10 @@ def main():
     log(f"finite corr_pvals: {finite:.4f}")
 
     # as in north_star.py: the first dispatch carries the one-off compile /
-    # cache-deserialize cost; steady state nets it out
-    from memento_tpu.utils import profiling
+    # cache-deserialize cost; steady state nets it out (first_s, not max_s —
+    # a mid-run tunnel stall must not be misattributed as warmup)
     first_dispatch = profiling.timings().get(
-        "ht2d.dispatch", {}).get("max_s", 0.0)
+        "ht2d.dispatch", {}).get("first_s", 0.0)
     steady_s = max(phases["ht_2d"] - first_dispatch, 1e-9)
 
     print(json.dumps({

@@ -738,6 +738,19 @@ def ht_2d_moments(
         else:
             treat_arg = np.asarray(treatment.values, dtype=np.float64)
             nt_per_pair_u = None
+            if treat_arg.ndim == 2 and treat_arg.shape[1] > 1:
+                # the 2D result stores one statistic per pair (ref
+                # hypothesis_test.py:367-415 returns a scalar); extra
+                # columns are computed but not reported
+                import warnings
+
+                warnings.warn(
+                    f"ht_2d_moments received a {treat_arg.shape[1]}-column "
+                    "treatment but the 2D result schema reports only the "
+                    "FIRST treatment column (reference semantics, ref "
+                    "hypothesis_test.py:367-415); run per-column or use "
+                    "treatment_for_gene to select columns per pair",
+                    UserWarning, stacklevel=2)
 
         def run_pair_block(start, stop):
             sl = slice(start, stop)

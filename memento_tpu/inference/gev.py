@@ -308,6 +308,20 @@ def gev_refine_batch(stats: np.ndarray, nulls: np.ndarray,
     m = stats.shape[0]
     if m == 0:
         return out
+    if nulls.shape[1] < TAIL_SCHEDULE[0]:
+        # The schedule's "tail" is then the (clipped) whole null and the
+        # reference's n_exec/B scaling exceeds 1 — the refinement is
+        # nonsensical at this B (ref hypothesis_test.py:103-121 has the same
+        # behavior silently).  Keep the bug-compatible numbers, but warn.
+        import warnings
+
+        warnings.warn(
+            f"GEV tail refinement with num_boot={nulls.shape[1]} < "
+            f"{TAIL_SCHEDULE[0]}: the tail slice clips to the whole null "
+            "and the reference's n_exec/B scale factor exceeds 1; refined "
+            "p-values at this B are unreliable — use num_boot >= 300 or "
+            "approx=True",
+            RuntimeWarning, stacklevel=2)
 
     finite = np.isfinite(nulls).all(axis=1) & np.isfinite(stats)
     # rows with non-finite entries take the serial scipy path (rare; the

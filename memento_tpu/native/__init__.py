@@ -352,6 +352,21 @@ def _csr_arrays(X):
     return indptr, indices, data
 
 
+def _check_zero_sf(size_factor, row_nnz):
+    """A zero size factor is valid only for an all-zero cell (sf = total
+    counts): its inf reciprocal is then never read by the sparse pass.  A
+    caller-supplied zero factor on a NON-empty row would silently poison the
+    sufficient statistics with inf/nan, so reject it loudly.  ``row_nnz`` is
+    a thunk; it is only evaluated in the rare some-sf-is-zero case."""
+    sf = np.asarray(size_factor, np.float64)
+    zero = sf == 0
+    if zero.any() and (np.asarray(row_nnz())[zero] > 0).any():
+        raise ValueError(
+            "size_factor contains 0 for a cell with nonzero counts; zero "
+            "size factors are only valid for all-zero cells")
+    return sf
+
+
 def suffstats_csr_native(X, size_factor):
     """One fused CSR pass -> (s1, s2, s1sq) f64 per gene, or None.
 
@@ -366,11 +381,9 @@ def suffstats_csr_native(X, size_factor):
         return None
     indptr, indices, data = arrs
     n, g = X.shape
-    # a zero size factor only occurs for an all-zero cell (sf = total
-    # counts), whose sparse row is empty — the inf reciprocal is never read
+    sf = _check_zero_sf(size_factor, lambda: np.diff(indptr))
     with np.errstate(divide="ignore"):
-        inv_sf = np.ascontiguousarray(
-            1.0 / np.asarray(size_factor, np.float64))
+        inv_sf = np.ascontiguousarray(1.0 / sf)
     s1 = np.empty(g, np.float64)
     s2 = np.empty(g, np.float64)
     s1sq = np.empty(g, np.float64)
@@ -402,11 +415,11 @@ def suffstats_csc_native(X, size_factor):
     indices = np.ascontiguousarray(X.indices, dtype=np.int32)
     data = np.ascontiguousarray(X.data, dtype=np.float32)
     g = X.shape[1]
-    # a zero size factor only occurs for an all-zero cell (sf = total
-    # counts), whose sparse row is empty — the inf reciprocal is never read
+    sf = _check_zero_sf(
+        size_factor,
+        lambda: np.bincount(indices, minlength=X.shape[0]))
     with np.errstate(divide="ignore"):
-        inv_sf = np.ascontiguousarray(
-            1.0 / np.asarray(size_factor, np.float64))
+        inv_sf = np.ascontiguousarray(1.0 / sf)
     s1 = np.empty(g, np.float64)
     s2 = np.empty(g, np.float64)
     s1sq = np.empty(g, np.float64)

@@ -53,6 +53,7 @@ def timings() -> Dict[str, dict]:
             "total_s": sum(vals),
             "mean_s": sum(vals) / len(vals),
             "max_s": max(vals),
+            "first_s": vals[0],
         }
     return out
 

@@ -157,3 +157,17 @@ def test_per_gene_one_sample_mixed(base):
         b = res2[res2.gene == g].iloc[0]
         np.testing.assert_allclose(a.de_coef, b.de_coef, rtol=1e-5,
                                    equal_nan=True)
+
+
+def test_2d_multicolumn_treatment_warns(base):
+    """A multi-column treatment in ht_2d_moments warns that only the first
+    column is reported (reference returns one scalar per pair)."""
+    adata = base.copy()
+    cov, tx = _prep(adata)
+    genes = adata.var.index.tolist()
+    mt.compute_2d_moments(adata, [(genes[0], genes[1])])
+    tx2 = tx.copy()
+    tx2["tx2"] = 1 - tx2["tx"]
+    with pytest.warns(UserWarning, match="FIRST treatment column"):
+        mt.ht_2d_moments(adata, covariate=cov, treatment=tx2,
+                         num_boot=100, tile_size=8, resampling="bootstrap")

@@ -126,3 +126,21 @@ def test_refine_flagged_batch_shape(rng):
     assert out.shape == pvals.shape
     assert (out[~needs] == 0.5).all()
     assert np.isfinite(out[0, 0])
+
+
+def test_refine_batch_warns_below_tail_schedule(rng):
+    """num_boot < 300 clips the tail schedule -> loud RuntimeWarning."""
+    B = 120  # < TAIL_SCHEDULE[0]
+    stats = np.array([0.9, 0.3])
+    nulls = rng.normal(0, 0.1, (2, B))
+    fallbacks = np.full(2, 1.0 / (B + 1))
+    with pytest.warns(RuntimeWarning, match="num_boot"):
+        got = gev_refine_batch(stats, nulls, fallbacks)
+    assert got.shape == (2,)
+
+    # and no warning at a healthy B
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        gev_refine_batch(stats, rng.normal(0, 0.1, (2, 600)), fallbacks)
