@@ -540,12 +540,18 @@ def ht_1d_moments(
     checkpoint_dir=None,
     checkpoint_block=4096,
     mesh=None,
+    distributed=False,
     **kwargs,
 ):
     """Differential mean / variability testing (ref ``main.py:341-415``).
 
     With ``mesh`` given (a ``jax.sharding.Mesh`` with a ``model`` axis), the
-    gene axis of every test tile is sharded over the mesh devices.
+    gene axis of every test tile is sharded over the mesh devices; the mesh
+    must be process-local.  With ``distributed=True`` under a
+    multi-controller ``jax.distributed`` runtime, gene tiles are
+    round-robined over processes and the results merged with one DCN
+    all-reduce — every process ends with identical results (see
+    ``run_ht_1d``).
 
     ``covariate`` and ``treatment`` are per-group (sample-level) DataFrames
     aligned to ``uns['memento']['groups']`` order; ``treatment_for_gene``
@@ -603,8 +609,15 @@ def ht_1d_moments(
             verbose=verbose > 0,
             custom_1d=custom_1d,
             mesh=mesh,
+            distributed=distributed,
         )
 
+    if distributed and checkpoint_dir is not None:
+        raise ValueError(
+            "distributed=True with checkpoint_dir is not supported: every "
+            "process would race on the same block files; checkpoint from a "
+            "single-controller run or give each process its own directory "
+            "via run_ht_1d directly")
     if checkpoint_dir is not None:
         from .utils.blocks import run_blocks
 
@@ -667,6 +680,7 @@ def ht_2d_moments(
     checkpoint_dir=None,
     checkpoint_block=4096,
     mesh=None,
+    distributed=False,
     **kwargs,
 ):
     """Differential correlation testing (ref ``main.py:418-520``).
@@ -775,8 +789,13 @@ def ht_2d_moments(
                 verbose=verbose > 0,
                 custom_est=custom_est,
                 mesh=mesh,
+                distributed=distributed,
             )
 
+        if distributed and checkpoint_dir is not None:
+            raise ValueError(
+                "distributed=True with checkpoint_dir is not supported: "
+                "every process would race on the same block files")
         if checkpoint_dir is not None:
             from .utils.blocks import run_blocks
 

@@ -706,6 +706,37 @@ def _one_sample_flags(treatment: np.ndarray, per_item: bool):
     return False, vec
 
 
+def _check_distributed(distributed: bool, mesh) -> int:
+    """Validate the multi-controller configuration; returns process count
+    (1 = single-controller path).
+
+    A mesh combined with ``distributed=True`` must be process-local: tiles
+    are dispatched with plain ``device_put`` against its sharding, which
+    requires every mesh device to be addressable by this process.
+    """
+    if not distributed:
+        return 1
+    nproc = jax.process_count()
+    if nproc > 1 and mesh is not None:
+        local = {d.id for d in jax.local_devices()}
+        if not all(d.id in local for d in np.asarray(mesh.devices).flat):
+            raise ValueError(
+                "distributed=True requires a process-local mesh (e.g. over "
+                "jax.local_devices()); got a mesh spanning other processes")
+    return nproc
+
+
+def _merge_distributed(out: dict, starts, tile_size: int, n: int) -> dict:
+    """All-reduce the disjoint per-process result rows into the global
+    result (every process returns identical full arrays)."""
+    from ..parallel.distributed import merge_disjoint_rows
+
+    owned = np.zeros(n, bool)
+    for s in starts:
+        owned[s:min(s + tile_size, n)] = True
+    return merge_disjoint_rows(out, owned)
+
+
 # Bound on tiles launched but not yet harvested.  Each pending 1D result
 # pins two [T, Kt, B+1] f32 coefficient tensors on device (~80 MB at
 # T=512, B=10k), so launching every tile before harvesting any — as round 1
@@ -762,6 +793,7 @@ def run_ht_1d(
     custom_1d=None,  # user estimator fn (reference custom API)
     mesh=None,  # jax.sharding.Mesh with a 'model' axis: shard genes over it
     max_pending: int = DEFAULT_MAX_PENDING,  # in-flight tile window
+    distributed: bool = False,  # multi-controller: per-process tile ranges
 ):
     """Run the 1D test over all genes, tiling the gene axis.
 
@@ -775,7 +807,17 @@ def run_ht_1d(
     With ``mesh`` given, each tile's gene axis is sharded over the mesh's
     ``model`` axis (tests for different genes are independent, so this is
     communication-free SPMD); the tile size is rounded to a multiple of the
-    model-axis size.
+    model-axis size.  A mesh must only span devices addressable by THIS
+    process (single-controller semantics).
+
+    With ``distributed=True`` under a multi-controller ``jax.distributed``
+    runtime, tile starts are round-robined over processes: each process
+    runs its tiles on its local devices and the disjoint result rows are
+    merged with one DCN all-reduce at the end — the TPU-native version of
+    the reference's manual gene-block sharding across invocations
+    (ref ``analysis/lupus/run_memento.py:92-109``; parallel axis
+    ``main.py:397``).  Per-tile RNG keys fold the GLOBAL start offset, so
+    the merged result is bit-identical to the single-process run.
 
     Returns dict of ``[G, Kt]`` arrays: mean_coef/se/pval, var_coef/se/pval.
     """
@@ -895,15 +937,21 @@ def run_ht_1d(
     # launch tiles asynchronously with a bounded in-flight window: harvest
     # the oldest tile once >max_pending are outstanding so pinned device
     # buffers stay O(window), not O(G/tile_size)
-    progress = profiling.ProgressReporter(g, unit="genes", label="ht1d",
+    starts = list(range(0, g, tile_size))
+    nproc = _check_distributed(distributed, mesh)
+    if nproc > 1:
+        from ..parallel.distributed import process_tile_starts
+
+        starts = process_tile_starts(starts)
+    n_local = sum(min(s + tile_size, g) - s for s in starts)
+    progress = profiling.ProgressReporter(n_local, unit="genes", label="ht1d",
                                           enabled=bool(verbose))
     progress.note(
-        f"{g} genes in tiles of {tile_size}; the first tile compiles on "
-        "first use (can take minutes on remote-compile backends)"
+        f"{n_local}/{g} genes in tiles of {tile_size}; the first tile "
+        "compiles on first use (can take minutes on remote-compile backends)"
     )
     pending = []
     gev_worker = _DeferredGEV("ht1d.gev.refine")
-    starts = list(range(0, g, tile_size))
 
     def _pack(start):
         with profiling.phase("ht1d.compress+pack"):
@@ -989,6 +1037,8 @@ def run_ht_1d(
     with profiling.phase("ht1d.gev.join"):
         gev_worker.finish()
     progress.close()
+    if nproc > 1:
+        out = _merge_distributed(out, starts, tile_size, g)
     return out
 
 
@@ -1015,6 +1065,7 @@ def run_ht_2d(
     custom_est=None,  # (fn_1d, fn_cov) user estimators (reference custom API)
     mesh=None,  # jax.sharding.Mesh with a 'model' axis: shard pairs over it
     max_pending: int = DEFAULT_MAX_PENDING,  # in-flight tile window
+    distributed: bool = False,  # multi-controller: per-process tile ranges
 ):
     """Run the 2D (differential correlation) test over all pairs.
 
@@ -1026,7 +1077,9 @@ def run_ht_2d(
     ``model`` axis — pair tests are independent, so this is communication-
     free SPMD (the reference fans the 2D test over the same worker pool as
     the 1D, ref ``main.py:501``); the tile size is rounded to a multiple of
-    the model-axis size.
+    the model-axis size.  ``distributed=True`` round-robins pair tiles over
+    ``jax.distributed`` processes and merges the disjoint rows with one DCN
+    all-reduce, exactly as in ``run_ht_1d``.
     """
     from ..ops.compress import compress_pairs
 
@@ -1135,15 +1188,21 @@ def run_ht_2d(
                               resampling)
         progress.update(min(stop, p) - start)
 
-    progress = profiling.ProgressReporter(p, unit="pairs", label="ht2d",
+    starts = list(range(0, p, tile_size))
+    nproc = _check_distributed(distributed, mesh)
+    if nproc > 1:
+        from ..parallel.distributed import process_tile_starts
+
+        starts = process_tile_starts(starts)
+    n_local = sum(min(s + tile_size, p) - s for s in starts)
+    progress = profiling.ProgressReporter(n_local, unit="pairs", label="ht2d",
                                           enabled=bool(verbose))
     progress.note(
-        f"{p} pairs in tiles of {tile_size}; the first tile compiles on "
-        "first use (can take minutes on remote-compile backends)"
+        f"{n_local}/{p} pairs in tiles of {tile_size}; the first tile "
+        "compiles on first use (can take minutes on remote-compile backends)"
     )
     pending = []
     gev_worker = _DeferredGEV("ht2d.gev.refine")
-    starts = list(range(0, p, tile_size))
 
     def _pack(start):
         with profiling.phase("ht2d.compress+pack"):
@@ -1225,6 +1284,8 @@ def run_ht_2d(
     with profiling.phase("ht2d.gev.join"):
         gev_worker.finish()
     progress.close()
+    if nproc > 1:
+        out = _merge_distributed(out, starts, tile_size, p)
     return out
 
 

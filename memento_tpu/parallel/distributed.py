@@ -59,6 +59,41 @@ def process_row_range(n_rows: int,
     return start, stop
 
 
+def process_tile_starts(starts, process_id: Optional[int] = None,
+                        num_processes: Optional[int] = None) -> list:
+    """Round-robin assignment of tile start offsets to this process.
+
+    Gene/pair hypothesis tests are embarrassingly parallel (the reference's
+    production runs shard gene lists across invocations by hand,
+    ``analysis/lupus/run_memento.py:92-109``); round-robin over tile starts
+    balances ragged per-tile compression cost across hosts while keeping
+    every tile's GLOBAL start offset — so per-tile RNG key folds match the
+    single-process run exactly.
+    """
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
+    return list(starts)[pid::nproc]
+
+
+def merge_disjoint_rows(out: dict, owned: np.ndarray,
+                        precision: str = "high") -> dict:
+    """Merge per-process result dicts whose row ownership is disjoint.
+
+    Each process holds full-size ``[N, ...]`` arrays but has only filled the
+    rows in its ``owned`` mask; rows are owned by exactly one process, so a
+    cross-host sum with non-owned rows zeroed reconstructs the global result
+    exactly (including NaN sentinels in owned rows: NaN + 0 = NaN).
+    """
+    keys = sorted(out)
+    arrs = []
+    for k in keys:
+        a = np.array(out[k], np.float64, copy=True)
+        a[~owned] = 0.0
+        arrs.append(a)
+    merged = allreduce_hostsums(*arrs, precision=precision)
+    return {k: np.asarray(m) for k, m in zip(keys, merged)}
+
+
 def local_data_mesh() -> Mesh:
     """A per-host mesh over this process's addressable devices only.
 
@@ -161,6 +196,8 @@ def stream_mean_var_multihost(X_local, size_factor_local, n_obs_global: int,
 __all__ = [
     "initialize",
     "process_row_range",
+    "process_tile_starts",
+    "merge_disjoint_rows",
     "local_data_mesh",
     "global_data_mesh",
     "allreduce_hostsums",
