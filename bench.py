@@ -47,6 +47,21 @@ B10K_GENES = int(os.environ.get("BENCH_B10K_GENES", 256))
 B10K_BOOT = int(os.environ.get("BENCH_B10K_BOOT", 10_000))
 N_PAIRS = int(os.environ.get("BENCH_PAIRS", 512))
 
+# config 4: G x G correlation matrix (the one O(G^2 N) op, ref
+# estimator.py:236-270); upload-bound on the tunnel, so default to a
+# moderate cell count — the full 20k-gene scale run lives in
+# examples/corr_north_star.py with its committed artifact
+CORR_CELLS = int(os.environ.get("BENCH_CORR_CELLS", 50_000))
+SKIP_CORR = os.environ.get("BENCH_CORR", "1") == "0"
+
+# config 5: eQTL production shape — treatment_for_gene with per-gene SNP
+# sets (Kt up to 8), B=5000, bootstrap + counting/GEV p-values
+# (ref analysis/lupus/run_memento.py:40-52)
+EQTL_GENES = int(os.environ.get("BENCH_EQTL_GENES", 512))
+EQTL_BOOT = int(os.environ.get("BENCH_EQTL_BOOT", 5_000))
+EQTL_KT = int(os.environ.get("BENCH_EQTL_KT", 8))
+SKIP_EQTL = os.environ.get("BENCH_EQTL", "1") == "0"
+
 BASELINE_S_PER_GENE = 0.0446  # CPU memento @200k cells, B=1000 (BASELINE.md)
 
 _T0 = time.time()
@@ -237,6 +252,59 @@ def main():
         d2["vs_1d_baseline_floor"] = round(
             d2["best_pairs_per_s"] * BASELINE_S_PER_GENE, 2)
         extra[f"ht_2d_B{NUM_BOOT}_{N_PAIRS}p"] = d2
+
+    # ---- config 4: G x G correlation matrix --------------------------------
+    if not SKIP_EXTRA and not SKIP_CORR and not over_deadline():
+        from memento_tpu.ops.corr import corr_matrix_device
+
+        g0 = groups[0].tocsr()[:CORR_CELLS]
+        sf0 = sf[:CORR_CELLS]
+
+        def run_corr(_seed):
+            c = corr_matrix_device(g0, sf0, q, true_var[0], model)
+            return c
+
+        cm = timed_reps(run_corr, 2, "corr_matrix", "cellgene2",
+                        CORR_CELLS * N_GENES**2)
+        cm["config"] = [CORR_CELLS, N_GENES]
+        cm["gene_pairs_per_s"] = round(N_GENES**2 / cm["best_s"], 1)
+        extra[f"corr_matrix_{N_GENES}g_{CORR_CELLS}c"] = cm
+
+    # ---- config 5: eQTL production shape -----------------------------------
+    if not SKIP_EXTRA and not SKIP_EQTL and not over_deadline():
+        rng = np.random.default_rng(11)
+        nt = rng.integers(1, EQTL_KT + 1, EQTL_GENES)
+        tens = np.zeros((EQTL_GENES, 2, EQTL_KT))
+        for i in range(EQTL_GENES):
+            # SNP dosage-like group-level treatments in {0, 1, 2}
+            tens[i, :, : nt[i]] = rng.integers(0, 3, (2, nt[i]))
+        n_tests = int(nt.sum())
+
+        def run_eqtl(seed):
+            return run_ht_1d(
+                key=jax.random.key(seed),
+                groups=[g[:, :EQTL_GENES] for g in groups],
+                approx_sf=asf_groups,
+                true_mean=true_mean[:, :EQTL_GENES],
+                true_res_var=true_res_var[:, :EQTL_GENES],
+                mv_coeffs=np.tile(mv, (2, 1)),
+                q=np.full(2, q),
+                covariate=covariate,
+                treatment=tens,
+                num_boot=EQTL_BOOT,
+                model=model,
+                sampler="auto",
+                resampling="bootstrap",
+                approx=False,
+                boot_chunk=EQTL_BOOT,
+                tile_size=EQTL_GENES,
+            )
+
+        eq = timed_reps(run_eqtl, 2, "eqtl", "tests", n_tests)
+        eq["config"] = {"genes": EQTL_GENES, "num_boot": EQTL_BOOT,
+                        "kt_max": EQTL_KT, "tests": n_tests}
+        eq["genes_per_s"] = round(EQTL_GENES / eq["best_s"], 1)
+        extra[f"eqtl_B{EQTL_BOOT}_{EQTL_GENES}g"] = eq
 
     extra["total_bench_walltime_s"] = round(time.time() - _T0, 1)
 

@@ -61,17 +61,29 @@ def fill_invalid(key, vals, valid):
     all_invalid = ~jnp.any(valid, axis=-1)
 
     def do_fill(vals, valid):
-        # Stable-sort invalidity: the first V positions of `order` are the
-        # valid indices (original order).  O(B log B) per row — a categorical
-        # over the B entries would be O(B^2) and dominated the pipeline.
-        order = jnp.argsort(~valid, axis=-1, stable=True)
-        n_valid = jnp.maximum(valid.sum(axis=-1), 1)
+        # Donor = the (pick+1)-th valid entry in original order, located by
+        # binary search on the running valid count.  Bit-identical to the
+        # earlier stable-argsort formulation (``order[k]`` of
+        # ``argsort(~valid, stable=True)`` equals
+        # ``searchsorted(cumsum(valid), k+1)`` for k < n_valid) at a
+        # fraction of the cost: log2(B) vectorized gather steps instead of
+        # a bitonic sort's log^2(B) compare-exchange passes over [.., B].
+        cum = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
+        n_valid = jnp.maximum(cum[..., -1], 1)
         u = jax.random.uniform(key, vals.shape)
         pick = jnp.minimum(
             (u * n_valid[..., None]).astype(jnp.int32),
             (n_valid - 1)[..., None],
         )
-        donor_idx = jnp.take_along_axis(order, pick, axis=-1)
+        b = vals.shape[-1]
+        flat_cum = cum.reshape(-1, b)
+        flat_pick = pick.reshape(-1, b)
+        donor_idx = jax.vmap(
+            lambda c, p: jnp.searchsorted(c, p + 1, side="left")
+        )(flat_cum, flat_pick).reshape(pick.shape)
+        # all-invalid rows would index past the end; they are dropped
+        # downstream (all_invalid), so any in-range donor is fine
+        donor_idx = jnp.minimum(donor_idx, b - 1)
         donors = jnp.take_along_axis(vals, donor_idx, axis=-1)
         return jnp.where(valid, vals, donors)
 

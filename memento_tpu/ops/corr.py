@@ -16,6 +16,7 @@ Two paths:
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -79,9 +80,25 @@ def _kahan_add(acc, comp, update):
     return t, comp
 
 
+def _transport_dtype(vmax: float):
+    """Smallest integer dtype holding every count — UMI counts are small
+    ints, so dense cell blocks ship at 1-2 B/slot instead of 4 (the
+    host->device transfer is the dominant cost of the G x G path on slow
+    links and still 2-4x the PCIe time on normal hosts)."""
+    if vmax < 127:
+        return np.int8
+    if vmax < 32767:
+        return np.int16
+    return np.float32
+
+
 @functools.partial(jax.jit, donate_argnums=(3, 4, 5, 6, 7, 8))
 def _gram_update(xb, inv_sf_b, inv_sf_sq_b, S, s1, sdiag, cS, cs1, csdiag):
-    """Accumulate one dense cell block into the compensated Gram stats."""
+    """Accumulate one dense cell block into the compensated Gram stats.
+
+    ``xb`` may arrive as a compact integer dtype (transport form); the
+    f32 cast happens here on device."""
+    xb = xb.astype(jnp.float32)
     wx = xb * inv_sf_b[:, None]
     S, cS = _kahan_add(
         S, cS, jnp.dot(wx.T, wx, preferred_element_type=jnp.float32)
@@ -93,7 +110,8 @@ def _gram_update(xb, inv_sf_b, inv_sf_sq_b, S, s1, sdiag, cS, cs1, csdiag):
 
 
 def corr_matrix_device(X, size_factor, q, var, model: NoiseModel,
-                       block: int = 2048):
+                       block: int = 2048, row_block: Optional[int] = None,
+                       out_dtype=None):
     """All-by-all correlation matrix via blocked device matmuls.
 
     Args:
@@ -102,6 +120,11 @@ def corr_matrix_device(X, size_factor, q, var, model: NoiseModel,
       q: group capture efficiency.
       var: ``[G]`` per-gene variances (1d moments) for the denominator.
       block: cells per streamed dense tile.
+      row_block: when set, the Gram matrix is pulled to host and finished
+        in ``[row_block, G]`` slices (peak extra host memory = one slice of
+        f64 temporaries instead of ~4 full G x G arrays — required at 20k+
+        genes on small hosts).
+      out_dtype: output dtype (default float64; float32 halves the result).
 
     Returns:
       ``[G, G]`` numpy array with the reference's semantics
@@ -118,18 +141,59 @@ def corr_matrix_device(X, size_factor, q, var, model: NoiseModel,
     csdiag = jnp.zeros((g,), jnp.float32)
     issp = sparse.issparse(X)
     Xc = X.tocsr() if issp else np.asarray(X)
+    vals = Xc.data if issp else Xc
+    vmax = float(vals.max()) if vals.size else 0.0
+    integral = vals.size == 0 or bool(np.all(np.mod(vals, 1) == 0))
+    tdtype = _transport_dtype(vmax) if integral else np.float32
     for start in range(0, n, block):
         stop = min(start + block, n)
         xb = Xc[start:stop]
         xb = np.asarray(xb.todense()) if issp else xb
         S, s1, sdiag, cS, cs1, csdiag = _gram_update(
-            jnp.asarray(xb, jnp.float32),
+            jnp.asarray(np.asarray(xb, tdtype)),
             jnp.asarray(1.0 / sf[start:stop], jnp.float32),
             jnp.asarray(1.0 / sf[start:stop] ** 2, jnp.float32),
             S, s1, sdiag, cS, cs1, csdiag,
         )
-    return finish_corr_host(S, s1, sdiag, var, n,
-                            float(np.asarray(model.var_correction(q))))
+    c = float(np.asarray(model.var_correction(q)))
+    if row_block is None:
+        return finish_corr_host(S, s1, sdiag, var, n, c)
+    s1_h, sdiag_h = np.asarray(s1), np.asarray(sdiag)
+    out = np.empty((g, g), dtype=out_dtype or np.float64)
+    for r0 in range(0, g, row_block):
+        r1 = min(r0 + row_block, g)
+        out[r0:r1] = finish_corr_rows(np.asarray(S[r0:r1]), r0, s1_h,
+                                      sdiag_h, var, n, c)
+    return out
+
+
+def finish_corr_rows(S_rows, row_start, s1, sdiag, var, n, c):
+    """Finish a ``[Rb, G]`` row slice of the Gram matrix in host float64.
+
+    ``row_start`` locates the slice so the diagonal noise correction lands
+    on the right entries.  Same semantics as ``finish_corr_host`` (which is
+    the full-range special case).
+    """
+    S_rows = np.asarray(S_rows, dtype=np.float64)
+    s1 = np.asarray(s1, dtype=np.float64)
+    sdiag = np.asarray(sdiag, dtype=np.float64)
+    rb, g = S_rows.shape
+
+    prod = S_rows / n
+    ri = np.arange(rb)
+    ci = ri + row_start
+    on_diag = ci < g
+    prod[ri[on_diag], ci[on_diag]] -= c * sdiag[ci[on_diag]] / n
+    cov = prod - np.outer(s1[row_start:row_start + rb] / n, s1 / n)
+
+    var = np.asarray(var, dtype=np.float64).copy()
+    var[var <= 0] = np.nan
+    denom = np.sqrt(np.outer(var[row_start:row_start + rb], var))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = cov / denom
+    corr = np.where(np.abs(corr) <= 1.05, np.clip(corr, -1.0, 1.0), np.nan)
+    corr[~np.isfinite(denom)] = np.nan
+    return corr
 
 
 def finish_corr_host(S, s1, sdiag, var, n, c):
@@ -141,22 +205,8 @@ def finish_corr_host(S, s1, sdiag, var, n, c):
     (ref ``estimator.py:256-268`` semantics: invalid variances or
     out-of-range values -> NaN, values within +-1.05 clipped to [-1, 1]).
     """
-    S = np.asarray(S, dtype=np.float64)
-    s1 = np.asarray(s1, dtype=np.float64)
-    sdiag = np.asarray(sdiag, dtype=np.float64)
-
-    prod = S / n
-    np.fill_diagonal(prod, np.diag(prod) - c * sdiag / n)
-    cov = prod - np.outer(s1 / n, s1 / n)
-
-    var = np.asarray(var, dtype=np.float64).copy()
-    var[var <= 0] = np.nan
-    denom = np.sqrt(np.outer(var, var))
-    with np.errstate(invalid="ignore", divide="ignore"):
-        corr = cov / denom
-    corr = np.where(np.abs(corr) <= 1.05, np.clip(corr, -1.0, 1.0), np.nan)
-    corr[~np.isfinite(denom)] = np.nan
-    return corr
+    return finish_corr_rows(S, 0, s1, sdiag, var, n, c)
 
 
-__all__ = ["cov_sparse_pairs", "corr_matrix_device", "finish_corr_host"]
+__all__ = ["cov_sparse_pairs", "corr_matrix_device", "finish_corr_host",
+           "finish_corr_rows"]

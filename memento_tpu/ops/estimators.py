@@ -182,6 +182,10 @@ def suffstats_dense(X, inv_sf, inv_sf_sq):
       the full-dataset statistics — the cell-block data parallelism of
       SURVEY.md §2.2.
     """
+    # X may arrive in a compact integer transport dtype (UMI counts are
+    # small ints — int8/int16 ships 4-8x fewer bytes than the accumulator
+    # dtype and the cast back is exact); compute in the weights' precision
+    X = X.astype(inv_sf.dtype)
     s1 = inv_sf @ X
     s2 = inv_sf_sq @ (X * X)
     s1sq = inv_sf_sq @ X

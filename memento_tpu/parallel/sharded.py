@@ -133,7 +133,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def corr_matrix_sharded(mesh: Mesh, X, size_factor, q, var, model,
-                        block: int = 4096):
+                        block: int = 4096, row_block: int = 4096,
+                        out_dtype=None):
     """All-by-all G x G correlation with the output sharded 2-D over the mesh.
 
     The Gram accumulator ``S[G, G]`` is laid out ``P(axis0, axis1)`` over both
@@ -149,9 +150,14 @@ def corr_matrix_sharded(mesh: Mesh, X, size_factor, q, var, model,
       X: ``[N, G]`` sparse/dense counts for one group.
       size_factor: ``[N]`` exact size factors.
       var: ``[G]`` per-gene variances for the denominator.
+      row_block: rows of S gathered and finished per step — the host never
+        holds more than one ``[row_block, G]`` f64 temporary on top of the
+        output, so the 2-D sharding's memory benefit survives the finish.
+      out_dtype: output dtype (default float64; float32 halves the host
+        footprint of a 50k-gene matrix).
 
     Returns:
-      ``[G, G]`` numpy array (gathered to host).
+      ``[G, G]`` numpy array (gathered to host in row blocks).
     """
     import numpy as np
     import scipy.sparse as sparse
@@ -176,9 +182,15 @@ def corr_matrix_sharded(mesh: Mesh, X, size_factor, q, var, model,
     cs1 = jax.device_put(jnp.zeros((gp,), jnp.float32), repl)
     csdiag = jax.device_put(jnp.zeros((gp,), jnp.float32), repl)
 
+    from ..ops.corr import _transport_dtype
+
     sf = np.asarray(size_factor, dtype=np.float64)
     issp = sparse.issparse(X)
     Xc = X.tocsr() if issp else np.asarray(X)
+    vals = Xc.data if issp else Xc
+    vmax = float(vals.max()) if vals.size else 0.0
+    integral = vals.size == 0 or bool(np.all(np.mod(vals, 1) == 0))
+    tdtype = _transport_dtype(vmax) if integral else np.float32
     for start in range(0, n, block):
         stop = min(start + block, n)
         xb = Xc[start:stop]
@@ -186,7 +198,7 @@ def corr_matrix_sharded(mesh: Mesh, X, size_factor, q, var, model,
         if gp > g:
             xb = np.pad(xb, ((0, 0), (0, gp - g)))
         S, s1, sdiag, cS, cs1, csdiag = _gram_update(
-            jax.device_put(jnp.asarray(xb, jnp.float32), repl),
+            jax.device_put(jnp.asarray(np.asarray(xb, tdtype)), repl),
             jax.device_put(jnp.asarray(1.0 / sf[start:stop], jnp.float32),
                            repl),
             jax.device_put(jnp.asarray(1.0 / sf[start:stop] ** 2,
@@ -194,20 +206,34 @@ def corr_matrix_sharded(mesh: Mesh, X, size_factor, q, var, model,
             S, s1, sdiag, cS, cs1, csdiag,
         )
 
-    # Gather the f32 Gram statistics and finish on host in float64 — the
-    # G x G gather happens anyway (this function returns a numpy array), and
-    # the ``S/n - outer(m, m)`` cancellation needs f64, which devices without
-    # x64 mode cannot provide (see ``ops.corr.finish_corr_host``).
-    from ..ops.corr import finish_corr_host
+    # Finish on host in float64 (the ``S/n - outer(m, m)`` cancellation
+    # needs f64, see ``ops.corr.finish_corr_host``) — but gather S in ROW
+    # BLOCKS so the 2-D sharding's memory benefit is not thrown away at the
+    # end: peak extra host memory is one [row_block, G] f64 slice.
+    from ..ops.corr import finish_corr_rows
 
     c = float(np.asarray(model.var_correction(q)))
-    corr = finish_corr_host(
-        np.asarray(S), np.asarray(s1), np.asarray(sdiag),
-        np.concatenate([np.asarray(var, np.float64),
-                        np.full(gp - g, np.nan)]),
-        float(n), c,
+    s1_h = np.asarray(s1)
+    sdiag_h = np.asarray(sdiag)
+    var_p = np.concatenate([np.asarray(var, np.float64),
+                            np.full(gp - g, np.nan)])
+    out = np.empty((g, g), dtype=out_dtype or np.float64)
+    # one traced slice fn (r0 is a traced scalar -> a single executable per
+    # distinct block height, not one per block)
+    slice_rows = jax.jit(
+        lambda s, r0, take: jax.lax.dynamic_slice_in_dim(s, r0, take, 0),
+        static_argnums=(2,),
+        out_shardings=NamedSharding(mesh, P(None, a1)),
     )
-    return corr[:g, :g]
+    rbp = min(row_block, gp)
+    for r0 in range(0, g, rbp):
+        take = min(rbp, gp - r0)  # slice stays in bounds of the padded S
+        s_rows = np.asarray(slice_rows(S, np.int32(r0), take))
+        nrows = min(g - r0, take)
+        out[r0:r0 + nrows] = finish_corr_rows(
+            s_rows[:nrows], r0, s1_h, sdiag_h, var_p, float(n), c
+        )[:, :g]
+    return out
 
 
 __all__ = [

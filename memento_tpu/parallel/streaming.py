@@ -74,12 +74,28 @@ def stream_suffstats(mesh, X, size_factor, block: int = 8192,
     dtype = jnp.float64 if precision == "high" else jnp.float32
     x64 = jax.enable_x64() if precision == "high" else contextlib.nullcontext()
 
+    # Compact transport: integral counts ship as the smallest int dtype
+    # (the device cast back to the accumulator dtype is EXACT, so even
+    # precision='high' results are unchanged) — 8x fewer host->device
+    # bytes than f64 dense blocks, which are the dominant cost of this
+    # path (docs/performance.md "DP streaming" note).
+    from ..ops.corr import _transport_dtype
+
+    vals = Xr.data if issp else Xr
+    vmax = float(vals.max()) if getattr(vals, "size", 0) else 0.0
+    integral = getattr(vals, "size", 0) == 0 or bool(
+        np.all(np.mod(vals, 1) == 0))
+    tdtype = _transport_dtype(vmax) if integral else None
+
     partials = []
     with x64:
         for start in range(0, n, block):
             stop = min(start + block, n)
             xb = Xr[start:stop]
             xb = np.asarray(xb.todense()) if issp else np.asarray(xb)
+            xb = np.asarray(xb, tdtype) if tdtype is not None \
+                else np.asarray(xb, np.float64 if precision == "high"
+                                else np.float32)
             w = 1.0 / sf[start:stop]
             w2 = w * w
             if stop - start < block:  # zero-pad final block (zero weights)
@@ -89,7 +105,7 @@ def stream_suffstats(mesh, X, size_factor, block: int = 8192,
                 w2 = np.pad(w2, (0, pad))
             partials.append(_block_suffstats(
                 mesh,
-                jnp.asarray(xb, dtype),
+                jnp.asarray(xb),
                 jnp.asarray(w, dtype),
                 jnp.asarray(w2, dtype),
             ))

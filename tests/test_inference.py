@@ -150,3 +150,30 @@ def test_fill_invalid(rng):
     for i in range(2):
         np.testing.assert_array_equal(filled[i][valid[i]], vals[i][valid[i]])
         assert np.all(np.isin(filled[i][~valid[i]], vals[i][valid[i]]))
+
+
+def test_fill_invalid_matches_argsort_formulation(rng):
+    """The searchsorted-on-cumsum donor lookup is bit-identical to the
+    original stable-argsort formulation (order[k] == searchsorted(cum, k+1))
+    — pins the O(B log B)-sort-free rewrite."""
+    import jax
+    import jax.numpy as jnp
+
+    from memento_tpu.inference.ht import fill_invalid
+
+    def argsort_fill(key, vals, valid):
+        order = jnp.argsort(~valid, axis=-1, stable=True)
+        n_valid = jnp.maximum(valid.sum(axis=-1), 1)
+        u = jax.random.uniform(key, vals.shape)
+        pick = jnp.minimum((u * n_valid[..., None]).astype(jnp.int32),
+                           (n_valid - 1)[..., None])
+        donor_idx = jnp.take_along_axis(order, pick, axis=-1)
+        return jnp.where(valid, vals,
+                         jnp.take_along_axis(vals, donor_idx, axis=-1))
+
+    key = jax.random.key(3)
+    vals = jnp.asarray(rng.normal(size=(4, 7, 129)).astype(np.float32))
+    valid = jnp.asarray(rng.random((4, 7, 129)) > 0.4)
+    got, _ = fill_invalid(key, vals, valid)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(argsort_fill(key, vals, valid)))

@@ -210,6 +210,11 @@ mesh = make_mesh(shape=(2, 4))
 got = corr_matrix_sharded(mesh, X, sf, 0.1, var, HYPER_RELATIVE, block=128)
 assert got.shape == (g, g)
 np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-5, equal_nan=True)
+# row-blocked host finish (bounded peak memory) is exactly the same result
+got_b = corr_matrix_sharded(mesh, X, sf, 0.1, var, HYPER_RELATIVE,
+                            block=128, row_block=16, out_dtype=np.float32)
+np.testing.assert_allclose(got_b, got.astype(np.float32), rtol=2e-6,
+                           atol=2e-7, equal_nan=True)
 print('corr sharded ok')
 """
     )
