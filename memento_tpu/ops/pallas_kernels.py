@@ -50,10 +50,11 @@ def _uniform_from_bits(bits):
     return jnp.maximum(u, 1e-7)
 
 
-def _cascade_chunk_kernel(seed_ref, off_ref, rem_in_ref, sums_in_ref,
-                          ratio_ref, lam_ref, ctail_ref, w_ref,
+def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
+                          sums_in_ref, ratio_ref, lam_ref, ctail_ref, w_ref,
                           rem_out_ref, sums_out_ref, draws_ref, *, u_dim,
-                          w_dim, b_pad, tau, n_bc, u_total):
+                          w_dim, b_pad, tau, n_bc, u_total,
+                          reseed_per_bin: bool = True):
     """One (8-gene, b_pad-replicate) block over one U-chunk of the cascade.
 
     The carries (``remaining`` trials and the weighted sums) arrive as
@@ -61,16 +62,23 @@ def _cascade_chunk_kernel(seed_ref, off_ref, rem_in_ref, sums_in_ref,
     chain through a ``lax.scan`` — one compiled kernel serves every U.
     ``off_ref`` holds the chunk's global bin offset (PRNG stream index).
 
-    Per-bin work is PREDICATED on the 8-row block's occupancy (``pl.when``
-    on scalar column maxima), which is why the carries live in the output
-    refs rather than registers:
+    Per-bin work is PREDICATED on the 8-row block's occupancy, which is why
+    the carries live in the output refs rather than registers:
       - bins whose 8 rows all have count 0 (ragged-U padding — typically
-        40-60% of a real tile's slots) cost only a column max + branch;
+        40-60% of a real tile's slots) cost only an SMEM read + branch;
       - all-small bins (lam < tau for every row, the common case for the
         2D joint compression) skip the Box-Muller/Cornish-Fisher path;
       - all-large bins skip the truncated-Poisson table loop.
     Draws land in a VMEM scratch block so each predicated sub-branch can
     contribute its rows without materializing both samplers.
+
+    The predicates and the adaptive table trip count arrive PRECOMPUTED
+    per (8-row block, bin), packed into one SMEM int32 array
+    (``pred_ref[row_program, u] = niter << 2 | gauss << 1 | table``; 0 =
+    empty bin): measured in round 4, deriving them in-kernel from
+    cross-lane maxima cost ~3 us of vector->scalar synchronization per
+    fired bin (constant in the lane width — the kernel was latency-bound
+    on the scalar unit, not ALU-throughput-bound; see utils/roofline.py).
     """
     # Distinct PRNG stream per (gene-row program, replicate-lane chunk, bin),
     # PROVABLY non-overlapping: each program (linear id over the 2-D grid)
@@ -81,16 +89,23 @@ def _cascade_chunk_kernel(seed_ref, off_ref, rem_in_ref, sums_in_ref,
     pid = pl.program_id(0) * jnp.int32(n_bc) + pl.program_id(1)
     base_seed = seed_ref[0] + pid * jnp.int32(u_total)
     off = off_ref[0]
+    if not reseed_per_bin:
+        # one stream per (program, chunk launch): bins consume bits
+        # sequentially.  Distinctness across programs/launches holds because
+        # the per-program seed ranges are exclusive (above) and each launch
+        # seeds at its own chunk offset.
+        pltpu.prng_seed(base_seed + off)
 
     rem_out_ref[:, :] = rem_in_ref[:, :]
     sums_out_ref[:, :] = sums_in_ref[:, :]
 
+    row_pid = pl.program_id(0)
     for u in range(u_dim):  # static unroll — see module docstring
-        lam = lam_ref[:, u].reshape(8, 1)
-        lam_max = jnp.max(lam)
+        pred = pred_ref[row_pid, u]
 
-        @pl.when(lam_max > 0.0)
-        def _bin_body(u=u, lam=lam, lam_max=lam_max):
+        @pl.when(pred > 0)
+        def _bin_body(u=u, pred=pred):
+            lam = lam_ref[:, u].reshape(8, 1)
             ratio = ratio_ref[:, u].reshape(8, 1)
             ctail = ctail_ref[:, u].reshape(8, 1)
             remaining = rem_out_ref[:, :]
@@ -99,14 +114,10 @@ def _cascade_chunk_kernel(seed_ref, off_ref, rem_in_ref, sums_in_ref,
             # sub-branches continue this bin's stream (repeated identical
             # draw expressions would get CSE'd by the compiler — observed
             # as perfectly correlated draws across bins).
-            pltpu.prng_seed(base_seed + off + jnp.int32(u))
+            if reseed_per_bin:
+                pltpu.prng_seed(base_seed + off + jnp.int32(u))
 
-            lam_tab = jnp.max(jnp.where(lam < tau, lam, 0.0))
-            need_gauss = lam_max >= tau   # any row on the Gaussian branch
-            need_table = lam_tab > 0.0    # any row on the table branch
-            # (~need_gauss implies need_table here: lam_max > 0 and < tau)
-
-            @pl.when(need_gauss)
+            @pl.when((pred & 2) > 0)
             def _gauss():
                 # Box-Muller with the Cornish-Fisher skew term and variance
                 # compensation — keeps the CLT boundary at tau=8 (see
@@ -127,30 +138,32 @@ def _cascade_chunk_kernel(seed_ref, off_ref, rem_in_ref, sums_in_ref,
                 # with lam == 0 draw 0 (their ratio is 0)
                 draws_ref[:, :] = jnp.where(lam < tau, 0.0, g)
 
-            @pl.when(need_table)
+            @pl.when((pred & 1) > 0)
             def _table():
                 # Truncated-Poisson inverse-CDF built iteratively
-                # in-register.  The trip count is ADAPTIVE per bin: the
-                # bound comes from the largest table-branch lam in this
-                # 8-row block — k = lam + 6*sqrt(lam) + 6 keeps
+                # in-register.  The trip count is ADAPTIVE per bin
+                # (precomputed host/XLA-side into ``niter_ref``): the bound
+                # comes from the largest table-branch lam in this 8-row
+                # block — k = lam + 6*sqrt(lam) + 6 keeps
                 # P[X > k] < 1e-11 for all lam <= tau=8.
                 bits3 = pltpu.prng_random_bits((8, b_pad))
                 u3 = _uniform_from_bits(bits3)
 
+                # NOTE (r4 measurement): carrying the lane-independent
+                # pmf/cdf recurrence at [8, 1] instead of full width was
+                # tried and measured NEUTRAL-to-5%-slower — the loop is
+                # bound by its serial dependency chain and per-iteration
+                # control, not by vector-op throughput.
                 def table_step(k, carry):
                     t_acc, cdf, pmf = carry
                     t_acc = t_acc + (u3 > cdf).astype(jnp.float32)
                     pmf = pmf * lam / (k.astype(jnp.float32) + 1.0)
                     return t_acc, cdf + pmf, pmf
 
-                n_iter = jnp.minimum(
-                    jnp.float32(_K_TABLE),
-                    jnp.ceil(lam_tab + 6.0 * jnp.sqrt(lam_tab) + 6.0),
-                ).astype(jnp.int32)
                 pmf0 = jnp.exp(-lam) * jnp.ones((8, b_pad), jnp.float32)
                 t, _, _ = jax.lax.fori_loop(
                     0,
-                    n_iter,
+                    pred >> 2,  # precomputed adaptive trip count
                     table_step,
                     (jnp.zeros((8, b_pad), jnp.float32), pmf0, pmf0),
                 )
@@ -189,9 +202,11 @@ PALLAS_CHUNK = 256
 PALLAS_B_CHUNK = 2048
 
 
-@functools.partial(jax.jit, static_argnames=("num_boot", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_boot", "interpret",
+                                             "reseed_per_bin"))
 def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                reseed_per_bin: bool = True):
     """Pallas analog of ``fused_bootstrap_sums`` (cascade sampler only).
 
     Genes of arbitrary U are supported: the cascade runs as a ``lax.scan``
@@ -259,6 +274,30 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
     ratio = jnp.clip(ratio, 0.0, 1.0)
     ratio = jnp.where((ctail > 0) & (counts >= ctail), 1.0, ratio)
 
+    # Per-(8-row block, bin) predicates + adaptive table trip counts,
+    # precomputed here so the kernel branches on SMEM scalars instead of
+    # deriving them from cross-lane maxima (each in-kernel derivation cost
+    # a vector->scalar sync; measured ~3 us per fired bin, the dominant
+    # kernel cost — see the kernel docstring).
+    lam_blk = counts.reshape(t_pad // 8, 8, u_pad)
+    colmax = lam_blk.max(axis=1)  # [TB, U]
+    lam_tab = jnp.where((lam_blk > 0) & (lam_blk < CASCADE_TAU), lam_blk,
+                        0.0).max(axis=1)
+    gauss_arr = (colmax >= CASCADE_TAU).astype(jnp.int32)
+    table_arr = (lam_tab > 0).astype(jnp.int32)
+    niter_arr = jnp.where(
+        table_arr > 0,
+        jnp.minimum(
+            jnp.float32(_K_TABLE),
+            jnp.ceil(lam_tab + 6.0 * jnp.sqrt(lam_tab) + 6.0),
+        ),
+        0.0,
+    ).astype(jnp.int32)
+    # packed per-(block, bin) scalar: niter << 2 | gauss << 1 | table.
+    # A fired bin always has gauss or table set (colmax > 0 implies some
+    # lam >= tau or some 0 < lam < tau), so pred > 0 <=> occupied.
+    pred_arr = (niter_arr << 2) | (gauss_arr << 1) | table_arr
+
     seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
 
     kernel = functools.partial(
@@ -269,6 +308,7 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
         tau=CASCADE_TAU,
         n_bc=n_bc,
         u_total=u_pad,
+        reseed_per_bin=reseed_per_bin,
     )
 
     def to_chunks(x):  # [T, u_pad, ...] -> [n_chunks, T, chunk, ...]
@@ -276,6 +316,7 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
         return jnp.moveaxis(x.reshape(shape), 1, 0)
 
     xs = (
+        to_chunks(pred_arr),
         to_chunks(ratio),
         to_chunks(counts),
         to_chunks(ctail),
@@ -296,6 +337,7 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk bin offset
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # packed predicates
             pl.BlockSpec((8, b_chunk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),  # remaining (carry in)
             pl.BlockSpec((8 * w_dim, b_chunk), lambda i, j: (i, j),
@@ -320,15 +362,15 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
             jax.ShapeDtypeStruct((t_pad * w_dim, b_pad), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((8, b_chunk), jnp.float32)],  # draws
-        input_output_aliases={2: 0, 3: 1},
+        input_output_aliases={3: 0, 4: 1},
         interpret=interpret,
     )
 
     def step(carry, x):
         rem, sums = carry
-        ratio_c, lam_c, ctail_c, w_c, off = x
-        rem, sums = call(seed[None], off[None], rem, sums, ratio_c, lam_c,
-                         ctail_c, w_c)
+        pred_c, ratio_c, lam_c, ctail_c, w_c, off = x
+        rem, sums = call(seed[None], off[None], pred_c, rem, sums, ratio_c,
+                         lam_c, ctail_c, w_c)
         return (rem, sums), None
 
     (rem_f, out), _ = jax.lax.scan(step, (rem0, sums0), xs)
