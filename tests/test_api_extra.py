@@ -171,3 +171,13 @@ def test_2d_multicolumn_treatment_warns(base):
     with pytest.warns(UserWarning, match="FIRST treatment column"):
         mt.ht_2d_moments(adata, covariate=cov, treatment=tx2,
                          num_boot=100, tile_size=8, resampling="bootstrap")
+
+
+def test_distributed_checkpoint_guard(base, tmp_path):
+    """distributed=True + checkpoint_dir would race on block files: raise."""
+    adata = base.copy()
+    cov, tx = _prep(adata)
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        mt.ht_1d_moments(adata, covariate=cov, treatment=tx, num_boot=100,
+                         distributed=True, checkpoint_dir=str(tmp_path),
+                         resampling="bootstrap")
