@@ -106,6 +106,7 @@ def main():
     res = mt.get_2d_ht_result(adata)
     finite = float(np.isfinite(res.corr_pval.values).mean())
     log(f"finite corr_pvals: {finite:.4f}")
+    profiling.report(file=sys.stderr)
 
     # as in north_star.py: the first dispatch carries the one-off compile /
     # cache-deserialize cost; steady state nets it out (first_s, not max_s —
