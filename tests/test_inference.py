@@ -152,22 +152,28 @@ def test_fill_invalid(rng):
         assert np.all(np.isin(filled[i][~valid[i]], vals[i][valid[i]]))
 
 
-def test_fill_invalid_matches_argsort_formulation(rng):
-    """The searchsorted-on-cumsum donor lookup is bit-identical to the
-    original stable-argsort formulation (order[k] == searchsorted(cum, k+1))
-    — pins the O(B log B)-sort-free rewrite."""
+def test_fill_invalid_matches_searchsorted_semantics(rng):
+    """Donor lookup semantics pin: order[k] of argsort(~valid, stable)
+    equals searchsorted(cumsum(valid), k+1) — the uniform-donor contract
+    the implementation must keep regardless of formulation (r4 measured
+    the argsort as the fastest TPU lowering; searchsorted ran 3-6x
+    slower)."""
     import jax
     import jax.numpy as jnp
 
     from memento_tpu.inference.ht import fill_invalid
 
-    def argsort_fill(key, vals, valid):
-        order = jnp.argsort(~valid, axis=-1, stable=True)
-        n_valid = jnp.maximum(valid.sum(axis=-1), 1)
+    def searchsorted_fill(key, vals, valid):
+        cum = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
+        n_valid = jnp.maximum(cum[..., -1], 1)
         u = jax.random.uniform(key, vals.shape)
         pick = jnp.minimum((u * n_valid[..., None]).astype(jnp.int32),
                            (n_valid - 1)[..., None])
-        donor_idx = jnp.take_along_axis(order, pick, axis=-1)
+        b = vals.shape[-1]
+        donor_idx = jax.vmap(
+            lambda c, p: jnp.searchsorted(c, p + 1, side="left")
+        )(cum.reshape(-1, b), pick.reshape(-1, b)).reshape(pick.shape)
+        donor_idx = jnp.minimum(donor_idx, b - 1)
         return jnp.where(valid, vals,
                          jnp.take_along_axis(vals, donor_idx, axis=-1))
 
@@ -175,5 +181,5 @@ def test_fill_invalid_matches_argsort_formulation(rng):
     vals = jnp.asarray(rng.normal(size=(4, 7, 129)).astype(np.float32))
     valid = jnp.asarray(rng.random((4, 7, 129)) > 0.4)
     got, _ = fill_invalid(key, vals, valid)
-    np.testing.assert_array_equal(np.asarray(got),
-                                  np.asarray(argsort_fill(key, vals, valid)))
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(searchsorted_fill(key, vals, valid)))
