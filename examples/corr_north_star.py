@@ -37,8 +37,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from memento_tpu.ops.corr import (_gram_update, _transport_dtype,
-                                      finish_corr_rows)
+    from memento_tpu.ops.corr import _gram_update, finish_corr_rows
+    from memento_tpu.ops.transport import compact_transport_dtype
     from memento_tpu.ops.estimators import get_noise_model, mean_var_sparse
     from memento_tpu.ops.size_factor import estimate_size_factor
     from memento_tpu.utils import enable_compile_cache
@@ -80,8 +80,7 @@ def main():
     cS = jnp.zeros((g, g), jnp.float32)
     cs1 = jnp.zeros((g,), jnp.float32)
     csdiag = jnp.zeros((g,), jnp.float32)
-    vmax = float(Xg.data.max()) if Xg.nnz else 0.0
-    tdtype = _transport_dtype(vmax)
+    tdtype = compact_transport_dtype(Xg) or np.float32
     log(f"transport dtype: {np.dtype(tdtype).name} "
         f"({n * g * np.dtype(tdtype).itemsize / 1e9:.2f} GB dense upload)")
 

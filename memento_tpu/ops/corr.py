@@ -24,6 +24,7 @@ import numpy as np
 import scipy.sparse as sparse
 
 from .estimators import NoiseModel
+from .transport import compact_transport_dtype
 
 
 def cov_sparse_pairs(X, size_factor, q, idx1, idx2, model: NoiseModel):
@@ -80,18 +81,6 @@ def _kahan_add(acc, comp, update):
     return t, comp
 
 
-def _transport_dtype(vmax: float):
-    """Smallest integer dtype holding every count — UMI counts are small
-    ints, so dense cell blocks ship at 1-2 B/slot instead of 4 (the
-    host->device transfer is the dominant cost of the G x G path on slow
-    links and still 2-4x the PCIe time on normal hosts)."""
-    if vmax < 127:
-        return np.int8
-    if vmax < 32767:
-        return np.int16
-    return np.float32
-
-
 @functools.partial(jax.jit, donate_argnums=(3, 4, 5, 6, 7, 8))
 def _gram_update(xb, inv_sf_b, inv_sf_sq_b, S, s1, sdiag, cS, cs1, csdiag):
     """Accumulate one dense cell block into the compensated Gram stats.
@@ -141,10 +130,7 @@ def corr_matrix_device(X, size_factor, q, var, model: NoiseModel,
     csdiag = jnp.zeros((g,), jnp.float32)
     issp = sparse.issparse(X)
     Xc = X.tocsr() if issp else np.asarray(X)
-    vals = Xc.data if issp else Xc
-    vmax = float(vals.max()) if vals.size else 0.0
-    integral = vals.size == 0 or bool(np.all(np.mod(vals, 1) == 0))
-    tdtype = _transport_dtype(vmax) if integral else np.float32
+    tdtype = compact_transport_dtype(Xc) or np.float32
     for start in range(0, n, block):
         stop = min(start + block, n)
         xb = Xc[start:stop]
@@ -157,7 +143,8 @@ def corr_matrix_device(X, size_factor, q, var, model: NoiseModel,
         )
     c = float(np.asarray(model.var_correction(q)))
     if row_block is None:
-        return finish_corr_host(S, s1, sdiag, var, n, c)
+        out = finish_corr_host(S, s1, sdiag, var, n, c)
+        return out.astype(out_dtype) if out_dtype is not None else out
     s1_h, sdiag_h = np.asarray(s1), np.asarray(sdiag)
     out = np.empty((g, g), dtype=out_dtype or np.float64)
     for r0 in range(0, g, row_block):

@@ -83,15 +83,33 @@ def merge_disjoint_rows(out: dict, owned: np.ndarray,
     rows in its ``owned`` mask; rows are owned by exactly one process, so a
     cross-host sum with non-owned rows zeroed reconstructs the global result
     exactly (including NaN sentinels in owned rows: NaN + 0 = NaN).
+
+    The ownership masks are validated collectively: every row must be
+    owned by EXACTLY one process (processes that resolved different tile
+    sizes — e.g. unequal local device counts rounding ``tile_size``
+    differently — would otherwise silently double or zero rows).
     """
     keys = sorted(out)
-    arrs = []
+    shape = np.shape(out[keys[0]])
+    mask = np.broadcast_to(
+        np.asarray(owned, np.float64).reshape(
+            (-1,) + (1,) * (len(shape) - 1)), shape).copy()
+    arrs = [mask]
     for k in keys:
         a = np.array(out[k], np.float64, copy=True)
         a[~owned] = 0.0
         arrs.append(a)
     merged = allreduce_hostsums(*arrs, precision=precision)
-    return {k: np.asarray(m) for k, m in zip(keys, merged)}
+    owners = merged[0][..., 0] if len(shape) > 1 else merged[0]
+    if not np.all(owners == 1.0):
+        bad = np.nonzero(owners != 1.0)[0]
+        raise RuntimeError(
+            f"inconsistent distributed tile partition: {bad.size} rows are "
+            f"owned by {owners[bad[0]]:.0f} processes (first bad row "
+            f"{bad[0]}); every process must resolve the same tile_size — "
+            "pass tile_size explicitly when hosts have unequal device "
+            "counts")
+    return {k: np.asarray(m) for k, m in zip(keys, merged[1:])}
 
 
 def local_data_mesh() -> Mesh:

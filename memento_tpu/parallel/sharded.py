@@ -182,15 +182,12 @@ def corr_matrix_sharded(mesh: Mesh, X, size_factor, q, var, model,
     cs1 = jax.device_put(jnp.zeros((gp,), jnp.float32), repl)
     csdiag = jax.device_put(jnp.zeros((gp,), jnp.float32), repl)
 
-    from ..ops.corr import _transport_dtype
+    from ..ops.transport import compact_transport_dtype
 
     sf = np.asarray(size_factor, dtype=np.float64)
     issp = sparse.issparse(X)
     Xc = X.tocsr() if issp else np.asarray(X)
-    vals = Xc.data if issp else Xc
-    vmax = float(vals.max()) if vals.size else 0.0
-    integral = vals.size == 0 or bool(np.all(np.mod(vals, 1) == 0))
-    tdtype = _transport_dtype(vmax) if integral else np.float32
+    tdtype = compact_transport_dtype(Xc) or np.float32
     for start in range(0, n, block):
         stop = min(start + block, n)
         xb = Xc[start:stop]

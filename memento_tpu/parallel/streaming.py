@@ -79,13 +79,9 @@ def stream_suffstats(mesh, X, size_factor, block: int = 8192,
     # precision='high' results are unchanged) — 8x fewer host->device
     # bytes than f64 dense blocks, which are the dominant cost of this
     # path (docs/performance.md "DP streaming" note).
-    from ..ops.corr import _transport_dtype
+    from ..ops.transport import compact_transport_dtype
 
-    vals = Xr.data if issp else Xr
-    vmax = float(vals.max()) if getattr(vals, "size", 0) else 0.0
-    integral = getattr(vals, "size", 0) == 0 or bool(
-        np.all(np.mod(vals, 1) == 0))
-    tdtype = _transport_dtype(vmax) if integral else None
+    tdtype = compact_transport_dtype(Xr)
 
     partials = []
     with x64:

@@ -45,3 +45,13 @@ def scrubbed_env(n_devices: int = 8):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def free_port() -> str:
+    """An ephemeral localhost port for jax.distributed coordinators —
+    hardcoded ports collide under concurrent test runs."""
+    import socket
+
+    with socket.socket() as sk:
+        sk.bind(("localhost", 0))
+        return str(sk.getsockname()[1])

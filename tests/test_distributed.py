@@ -12,7 +12,7 @@ import subprocess
 import sys
 from pathlib import Path
 
-from conftest import scrubbed_env
+from conftest import free_port, scrubbed_env
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -74,7 +74,7 @@ print(f"proc {pid} ok", flush=True)
 
 def test_two_process_streaming_matches_single_host():
     env = scrubbed_env(2)  # 2 CPU devices per process -> 4 global
-    port = "29913"
+    port = free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", WORKER, str(pid), "2", port],
