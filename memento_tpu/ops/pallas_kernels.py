@@ -52,7 +52,7 @@ def _uniform_from_bits(bits):
 
 def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
                           sums_in_ref, ratio_ref, lam_ref, ctail_ref, w_ref,
-                          rem_out_ref, sums_out_ref, draws_ref, *, u_dim,
+                          rem_out_ref, sums_out_ref, draws_ref, draws_b_ref, *, u_dim,
                           w_dim, b_pad, tau, n_bc, u_total,
                           reseed_per_bin: bool = True):
     """One (8-gene, b_pad-replicate) block over one U-chunk of the cascade.
@@ -69,8 +69,19 @@ def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
       - all-small bins (lam < tau for every row, the common case for the
         2D joint compression) skip the Box-Muller/Cornish-Fisher path;
       - all-large bins skip the truncated-Poisson table loop.
-    Draws land in a VMEM scratch block so each predicated sub-branch can
-    contribute its rows without materializing both samplers.
+    Draws land in per-bin VMEM scratch blocks so each predicated
+    sub-branch can contribute its rows without materializing both
+    samplers.
+
+    The bin loop is PAIR-FUSED (round 4, measured +13% on the north-star
+    tile): the raw-sample generation of two consecutive bins is
+    independent of the ``remaining`` carry — their Box-Muller draws and
+    truncated-Poisson CDF scans (fused into ONE fori_loop with two
+    chains, trip count = the pair's max) overlap, and only the cheap
+    remaining-dependent affine construction (conditional mean/variance,
+    Cornish-Fisher, clipping, weighted-sum update) runs sequentially per
+    bin.  RNG: one stream per (program, pair) — only even bin offsets
+    seed, so streams stay provably disjoint.
 
     The predicates and the adaptive table trip count arrive PRECOMPUTED
     per (8-row block, bin), packed into one SMEM int32 array
@@ -100,94 +111,103 @@ def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
     sums_out_ref[:, :] = sums_in_ref[:, :]
 
     row_pid = pl.program_id(0)
-    for u in range(u_dim):  # static unroll — see module docstring
-        pred = pred_ref[row_pid, u]
+    for u0 in range(0, u_dim, 2):
+        ua, ub = u0, u0 + 1
+        pred_a = pred_ref[row_pid, ua]
+        pred_b = pred_ref[row_pid, ub]
+        lam_a = lam_ref[:, ua].reshape(8, 1)
+        lam_b = lam_ref[:, ub].reshape(8, 1)
 
-        @pl.when(pred > 0)
-        def _bin_body(u=u, pred=pred):
-            lam = lam_ref[:, u].reshape(8, 1)
-            ratio = ratio_ref[:, u].reshape(8, 1)
-            ctail = ctail_ref[:, u].reshape(8, 1)
-            remaining = rem_out_ref[:, :]
+        if reseed_per_bin:  # one stream per PAIR (only even offsets used)
+            pltpu.prng_seed(base_seed + off + jnp.int32(u0))
 
-            # Reseed per bin; sequential prng_random_bits calls inside the
-            # sub-branches continue this bin's stream (repeated identical
-            # draw expressions would get CSE'd by the compiler — observed
-            # as perfectly correlated draws across bins).
-            if reseed_per_bin:
-                pltpu.prng_seed(base_seed + off + jnp.int32(u))
+        # ---- phase 1: raw samples, independent of `remaining` ----
+        @pl.when((pred_a & 2) > 0)
+        def _gauss_a(lam=lam_a):
+            bits = pltpu.prng_random_bits((8, 2 * b_pad))
+            u1 = _uniform_from_bits(bits[:, :b_pad])
+            u2 = _uniform_from_bits(bits[:, b_pad:])
+            z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+            draws_ref[:, :] = jnp.where(lam < tau, 0.0, z)
 
-            @pl.when((pred & 2) > 0)
-            def _gauss():
-                # Box-Muller with the Cornish-Fisher skew term and variance
-                # compensation — keeps the CLT boundary at tau=8 (see
-                # ops.sampling._approx_binomial_step, which this must match).
-                bits = pltpu.prng_random_bits((8, 2 * b_pad))
-                u1 = _uniform_from_bits(bits[:, :b_pad])
-                u2 = _uniform_from_bits(bits[:, b_pad:])
-                z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-                m = remaining * ratio
-                gam = 1.0 - 2.0 * ratio
-                s = jnp.sqrt(jnp.maximum(
-                    m * (1.0 - ratio) - gam * gam * (1.0 / 18.0) - 1.0 / 12.0,
-                    0.0))
-                g = jnp.clip(
-                    jnp.round(m + s * z + gam * (z * z - 1.0) * (1.0 / 6.0)),
-                    0.0, remaining)
-                # rows on the table branch get filled by _table below; rows
-                # with lam == 0 draw 0 (their ratio is 0)
-                draws_ref[:, :] = jnp.where(lam < tau, 0.0, g)
+        @pl.when((pred_b & 2) > 0)
+        def _gauss_b(lam=lam_b):
+            bits = pltpu.prng_random_bits((8, 2 * b_pad))
+            u1 = _uniform_from_bits(bits[:, :b_pad])
+            u2 = _uniform_from_bits(bits[:, b_pad:])
+            z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+            draws_b_ref[:, :] = jnp.where(lam < tau, 0.0, z)
 
-            @pl.when((pred & 1) > 0)
-            def _table():
-                # Truncated-Poisson inverse-CDF built iteratively
-                # in-register.  The trip count is ADAPTIVE per bin
-                # (precomputed host/XLA-side into ``niter_ref``): the bound
-                # comes from the largest table-branch lam in this 8-row
-                # block — k = lam + 6*sqrt(lam) + 6 keeps
-                # P[X > k] < 1e-11 for all lam <= tau=8.
-                bits3 = pltpu.prng_random_bits((8, b_pad))
-                u3 = _uniform_from_bits(bits3)
+        @pl.when(((pred_a | pred_b) & 1) > 0)
+        def _table_pair(lam_a=lam_a, lam_b=lam_b, pred_a=pred_a,
+                        pred_b=pred_b):
+            bits3 = pltpu.prng_random_bits((8, 2 * b_pad))
+            u3a = _uniform_from_bits(bits3[:, :b_pad])
+            u3b = _uniform_from_bits(bits3[:, b_pad:])
 
-                # NOTE (r4 measurement): carrying the lane-independent
-                # pmf/cdf recurrence at [8, 1] instead of full width was
-                # tried and measured NEUTRAL-to-5%-slower — the loop is
-                # bound by its serial dependency chain and per-iteration
-                # control, not by vector-op throughput.
-                def table_step(k, carry):
-                    t_acc, cdf, pmf = carry
-                    t_acc = t_acc + (u3 > cdf).astype(jnp.float32)
-                    pmf = pmf * lam / (k.astype(jnp.float32) + 1.0)
-                    return t_acc, cdf + pmf, pmf
+            def table_step(k, carry):
+                ta, tb, ca, cb, pa, pb = carry
+                ta = ta + (u3a > ca).astype(jnp.float32)
+                tb = tb + (u3b > cb).astype(jnp.float32)
+                kf = k.astype(jnp.float32) + 1.0
+                pa = pa * lam_a / kf
+                pb = pb * lam_b / kf
+                return ta, tb, ca + pa, cb + pb, pa, pb
 
-                pmf0 = jnp.exp(-lam) * jnp.ones((8, b_pad), jnp.float32)
-                t, _, _ = jax.lax.fori_loop(
-                    0,
-                    pred >> 2,  # precomputed adaptive trip count
-                    table_step,
-                    (jnp.zeros((8, b_pad), jnp.float32), pmf0, pmf0),
-                )
-                # conditional-mean shift + variance rescale (see ops.sampling)
-                p_cond = lam / jnp.maximum(ctail, 1.0)
-                t = lam + (t - lam) * jnp.sqrt(jnp.maximum(1.0 - p_cond, 0.0))
-                t = t + ratio * (remaining - ctail)
-                t = jnp.clip(t, 0.0, remaining)
-                # Gaussian rows (if any) were already written by _gauss;
-                # without a Gaussian row in the block every row is lam < tau,
-                # so the stale-ref side of the select is never chosen.
+            pa0 = jnp.exp(-lam_a) * jnp.ones((8, b_pad), jnp.float32)
+            pb0 = jnp.exp(-lam_b) * jnp.ones((8, b_pad), jnp.float32)
+            n_iter = jnp.maximum(pred_a >> 2, pred_b >> 2)
+            z0 = jnp.zeros((8, b_pad), jnp.float32)
+            ta, tb, _, _, _, _ = jax.lax.fori_loop(
+                0, n_iter, table_step, (z0, z0, pa0, pb0, pa0, pb0))
+
+            @pl.when((pred_a & 1) > 0)
+            def _store_a(lam=lam_a, t=ta):
                 prev = draws_ref[:, :]
                 draws_ref[:, :] = jnp.where(lam < tau, t, prev)
 
-            draws = draws_ref[:, :]
-            draws = jnp.where(ratio >= 1.0 - 1e-6, remaining, draws)
-            draws = jnp.where(ratio <= 0.0, jnp.zeros_like(draws), draws)
+            @pl.when((pred_b & 1) > 0)
+            def _store_b(lam=lam_b, t=tb):
+                prev = draws_b_ref[:, :]
+                draws_b_ref[:, :] = jnp.where(lam < tau, t, prev)
 
-            for wi in range(w_dim):
-                sl = slice(wi * 8, (wi + 1) * 8)
-                sums_out_ref[sl, :] = (
-                    sums_out_ref[sl, :] + w_ref[:, u, wi].reshape(8, 1) * draws
-                )
-            rem_out_ref[:, :] = remaining - draws
+        # ---- phase 2: sequential remaining-dependent construction ----
+        for u, pred, lam, dref in ((ua, pred_a, lam_a, draws_ref),
+                                   (ub, pred_b, lam_b, draws_b_ref)):
+            @pl.when(pred > 0)
+            def _epilogue(u=u, lam=lam, dref=dref):
+                ratio = ratio_ref[:, u].reshape(8, 1)
+                ctail = ctail_ref[:, u].reshape(8, 1)
+                remaining = rem_out_ref[:, :]
+                raw = dref[:, :]
+
+                # gauss rows: draws from the stored z
+                m = remaining * ratio
+                gam = 1.0 - 2.0 * ratio
+                sdev = jnp.sqrt(jnp.maximum(
+                    m * (1.0 - ratio) - gam * gam * (1.0 / 18.0)
+                    - 1.0 / 12.0, 0.0))
+                g = jnp.clip(
+                    jnp.round(m + sdev * raw
+                              + gam * (raw * raw - 1.0) * (1.0 / 6.0)),
+                    0.0, remaining)
+                # table rows: conditional-mean shift + variance rescale
+                p_cond = lam / jnp.maximum(ctail, 1.0)
+                t = lam + (raw - lam) * jnp.sqrt(
+                    jnp.maximum(1.0 - p_cond, 0.0))
+                t = t + ratio * (remaining - ctail)
+                t = jnp.clip(t, 0.0, remaining)
+
+                draws = jnp.where(lam < tau, t, g)
+                draws = jnp.where(ratio >= 1.0 - 1e-6, remaining, draws)
+                draws = jnp.where(ratio <= 0.0, jnp.zeros_like(draws),
+                                  draws)
+                for wi in range(w_dim):
+                    sl = slice(wi * 8, (wi + 1) * 8)
+                    sums_out_ref[sl, :] = (
+                        sums_out_ref[sl, :]
+                        + w_ref[:, u, wi].reshape(8, 1) * draws)
+                rem_out_ref[:, :] = remaining - draws
 
 
 # U bins processed per kernel launch: bounds the static unroll (compile
@@ -261,7 +281,10 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
     weights = weights[row_order]
     n_rows = n_rows[row_order]
 
-    chunk = min(PALLAS_CHUNK, u_dim)
+    # the bin loop is PAIR-FUSED (independent table/Box-Muller chains of
+    # consecutive bins overlap; measured 13% on the north-star tile), so
+    # the chunk width must be even
+    chunk = min(PALLAS_CHUNK, u_dim + (u_dim % 2))
     u_pad = ((u_dim + chunk - 1) // chunk) * chunk
     if u_pad != u_dim:  # zero-count bins are inert (ratio 0 -> draws 0)
         counts = jnp.pad(counts, ((0, 0), (0, u_pad - u_dim)))
@@ -361,7 +384,8 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
             jax.ShapeDtypeStruct((t_pad, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((t_pad * w_dim, b_pad), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((8, b_chunk), jnp.float32)],  # draws
+        scratch_shapes=[pltpu.VMEM((8, b_chunk), jnp.float32),
+                        pltpu.VMEM((8, b_chunk), jnp.float32)],  # draws a/b
         input_output_aliases={3: 0, 4: 1},
         interpret=interpret,
     )
