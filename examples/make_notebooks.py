@@ -278,11 +278,119 @@ print(f"{len(result)} gene-SNP tests, "
 ])
 
 
+
+SCALING = nb([
+    ("markdown", """\
+# Scaling `memento_tpu`: device meshes, multi-host runs, checkpointing
+
+The engine has two natural parallel axes (SURVEY.md §2.2): **cells**
+(sufficient statistics are plain sums — data parallelism is exact) and
+**genes / gene pairs** (tests are independent — model parallelism needs no
+communication).  This tutorial shows the three scaling knobs of the public
+API; everything here runs unchanged from 1 CPU device to a TPU pod slice.
+
+| knob | what it does | when |
+|---|---|---|
+| `mesh=` | shard one process's work over its devices (GSPMD) | single controller: one host, 1-8 chips |
+| `distributed=True` | round-robin gene/pair tiles over `jax.distributed` processes, merge with one DCN all-reduce | multi-host pods (e.g. v5p-16) |
+| `checkpoint_dir=` | persist per-block results; resume after a crash | long production runs |"""),
+    ("code", PREAMBLE),
+    ("code", """\
+import jax
+from memento_tpu.parallel.mesh import make_mesh
+
+# a (data, model) mesh over whatever devices this process has; with one
+# device this is a 1x1 mesh and every path below still works unchanged
+mesh = make_mesh()
+mesh"""),
+    ("markdown", """\
+### Cell-sharded moments and gene-sharded tests
+
+`setup_memento(mesh=...)` / `compute_1d_moments(mesh=...)` stream dense
+cell blocks through `psum`-merged device reductions (exact — the moments
+are sums), and `ht_1d_moments(mesh=...)` shards every test tile's gene
+axis over the mesh's `model` axis with zero communication."""),
+    ("code", """\
+adata = read_h5ad(DEMO)
+adata.obs["capture_q"] = 0.07
+mt.setup_memento(adata, q_column="capture_q", estimator_type="hyper_relative",
+                 mesh=mesh)
+mt.create_groups(adata, label_columns=["stim"])
+mt.compute_1d_moments(adata, min_perc_group=0.7, mesh=mesh)
+adata.shape"""),
+    ("code", """\
+groups = mt.get_groups(adata)
+cov = pd.DataFrame(np.ones((len(groups), 1)), index=groups.index)
+tx = pd.DataFrame({"stim": (groups["stim"].astype(str) == "stim").astype(float)},
+                  index=groups.index)
+mt.ht_1d_moments(adata, covariate=cov, treatment=tx, num_boot=NUM_BOOT,
+                 resampling="bootstrap", mesh=mesh, tile_size=64)
+mt.get_1d_ht_result(adata).head(5)"""),
+    ("markdown", """\
+### Multi-host execution
+
+On a multi-host pod, start one process per host under `jax.distributed`
+(`memento_tpu.parallel.distributed.initialize(...)`) and pass
+`distributed=True`: gene tiles round-robin over processes (each running on
+its local devices; per-tile RNG keys fold the GLOBAL tile offset, so the
+merged result is bit-identical to a single-process run), and the disjoint
+result rows merge with one DCN all-reduce.  With a single process it is a
+no-op, so the same script runs anywhere:"""),
+    ("code", """\
+mt.ht_1d_moments(adata, covariate=cov, treatment=tx, num_boot=NUM_BOOT,
+                 resampling="bootstrap", distributed=True, tile_size=64)
+res_dist = mt.get_1d_ht_result(adata)
+float(np.isfinite(res_dist.de_pval).mean())"""),
+    ("markdown", """\
+For the input pipeline, each host loads only its own row range
+(`parallel.distributed.process_row_range`) and
+`stream_mean_var_multihost` produces exact global moments with one DCN
+all-reduce of the per-host partial sums."""),
+    ("markdown", """\
+### Checkpoint / resume
+
+Production runs (the reference's lupus eQTL blocks, for example) persist
+per-block results; a crashed run resumes at the first unfinished block —
+blocks carry a run fingerprint, so resuming with changed inputs raises
+instead of silently mixing results."""),
+    ("code", """\
+import tempfile
+ckpt = tempfile.mkdtemp(prefix="memento_ckpt_")
+mt.ht_1d_moments(adata, covariate=cov, treatment=tx, num_boot=NUM_BOOT,
+                 resampling="bootstrap", checkpoint_dir=ckpt,
+                 checkpoint_block=32, tile_size=64)
+sorted(os.listdir(ckpt))[:3]"""),
+    ("code", """\
+# a re-run with the same inputs resumes from the completed blocks
+mt.ht_1d_moments(adata, covariate=cov, treatment=tx, num_boot=NUM_BOOT,
+                 resampling="bootstrap", checkpoint_dir=ckpt,
+                 checkpoint_block=32, tile_size=64)
+mt.get_1d_ht_result(adata).head(3)"""),
+    ("markdown", """\
+### The G x G correlation matrix
+
+`get_corr_matrix` accumulates a blocked MXU Gram product on device (int8
+compact transport for the cell blocks; Kahan-compensated f32 sums; f64
+finish on host in bounded row blocks).  With a 2-axis mesh the G x G
+output shards over BOTH axes (`parallel.sharded.corr_matrix_sharded`) for
+gene counts beyond one device's memory — measured at 20k genes x 100k
+cells in `CORR_NS_r04.json`."""),
+    ("code", """\
+corr = mt.get_corr_matrix(adata, mt.get_groups(adata).index[0])
+corr.shape, float(np.nanmean(np.abs(corr[np.triu_indices(corr.shape[0], 1)])))"""),
+    ("markdown", """\
+Further reading: `docs/performance.md` (measured scaling axes, the cascade
+kernel roofline, multi-host design), `PARITY.md` (component map),
+`tests/test_distributed_ht.py` (the 2-process bit-parity proof)."""),
+])
+
+
 NOTEBOOKS = {
     "ifn_moments.ipynb": MOMENTS,
     "ifn_ht.ipynb": HT,
     "one_sample_2d.ipynb": ONE_SAMPLE_2D,
     "genetics_eqtl.ipynb": GENETICS,
+    "scaling.ipynb": SCALING,
 }
 
 

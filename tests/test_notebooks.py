@@ -18,7 +18,7 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 NB_DIR = REPO / "docs" / "tutorials"
 NAMES = ["ifn_moments.ipynb", "ifn_ht.ipynb", "one_sample_2d.ipynb",
-         "genetics_eqtl.ipynb"]
+         "genetics_eqtl.ipynb", "scaling.ipynb"]
 
 
 @pytest.fixture(scope="module")
