@@ -69,6 +69,22 @@ from memento_tpu.parallel.distributed import process_tile_starts
 mine = process_tile_starts(range(0, 32, 8))
 assert len(mine) == 2, mine
 
+# ---- eQTL mode (per-gene treatment tensors) under distributed ----
+tx2 = tx.copy()
+tx2["snp"] = [0.0, 2.0][:len(tx2)] if len(tx2) == 2 else 1.0
+tfg = {g: (["tx"] if i % 2 else ["tx", "snp"])
+       for i, g in enumerate(adata.var.index)}
+kw_e = dict(covariate=cov, treatment=tx2, treatment_for_gene=tfg,
+            num_boot=320, tile_size=8, resampling="bootstrap", seed=0,
+            verbose=0)
+mt.ht_1d_moments(adata, distributed=True, **kw_e)
+res_e_dist = mt.get_1d_ht_result(adata).copy()
+mt.ht_1d_moments(adata, distributed=False, **kw_e)
+res_e_single = mt.get_1d_ht_result(adata).copy()
+for col in ["de_coef", "de_se", "de_pval"]:
+    np.testing.assert_array_equal(res_e_dist[col].values,
+                                  res_e_single[col].values, err_msg=col)
+
 # ---- 2D: distributed vs single-process ----
 genes = adata.var.index.tolist()
 pairs = [(genes[i], genes[i + 1]) for i in range(0, 16, 2)]
