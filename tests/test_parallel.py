@@ -310,3 +310,31 @@ print("mesh run ok")
 """
     )
     assert "mesh run ok" in out
+
+
+def test_merge_disjoint_rows_detects_bad_partition():
+    """A row owned by zero (or 2+) processes must raise, not silently
+    zero/double — single-process: a gapped mask already trips it."""
+    out = _run(
+        """
+import numpy as np
+from memento_tpu.parallel.distributed import merge_disjoint_rows
+
+res = {"a": np.arange(12.0).reshape(6, 2)}
+owned = np.array([True, True, False, True, True, True])  # row 2 unowned
+try:
+    merge_disjoint_rows(res, owned)
+    print('NO ERROR')
+except RuntimeError as e:
+    assert 'partition' in str(e), e
+    print('partition error ok')
+
+# a complete mask merges cleanly and preserves NaN sentinels
+res2 = {"a": np.arange(12.0).reshape(6, 2)}
+res2["a"][1, 0] = np.nan
+got = merge_disjoint_rows(res2, np.ones(6, bool))
+assert np.isnan(got["a"][1, 0]) and got["a"][5, 1] == 11.0
+print('complete mask ok')
+"""
+    )
+    assert "partition error ok" in out and "complete mask ok" in out
