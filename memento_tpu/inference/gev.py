@@ -32,6 +32,10 @@ from .asl import gev_refine
 
 KS_GATE = 0.05
 TAIL_SCHEDULE = tuple(range(300, 50, -30))  # 300, 270, ..., 60
+
+# once-per-process latch for the small-num_boot warning (emitted from
+# gev_refine_batch, which the tiled HT paths call once per tile)
+_WARNED_SMALL_B = False
 _GUMBEL_EPS = 1e-7
 _EULER = 0.5772156649015329
 
@@ -308,13 +312,18 @@ def gev_refine_batch(stats: np.ndarray, nulls: np.ndarray,
     m = stats.shape[0]
     if m == 0:
         return out
-    if nulls.shape[1] < TAIL_SCHEDULE[0]:
+    global _WARNED_SMALL_B
+    if nulls.shape[1] < TAIL_SCHEDULE[0] and not _WARNED_SMALL_B:
         # The schedule's "tail" is then the (clipped) whole null and the
         # reference's n_exec/B scaling exceeds 1 — the refinement is
         # nonsensical at this B (ref hypothesis_test.py:103-121 has the same
-        # behavior silently).  Keep the bug-compatible numbers, but warn.
+        # behavior silently).  Keep the bug-compatible numbers, but warn
+        # ONCE per process — the tiled HT paths call this per tile (from the
+        # deferred worker), and under an "always"/"error" warning filter the
+        # repeat would fire for every tile of a long run.
         import warnings
 
+        _WARNED_SMALL_B = True
         warnings.warn(
             f"GEV tail refinement with num_boot={nulls.shape[1]} < "
             f"{TAIL_SCHEDULE[0]}: the tail slice clips to the whole null "

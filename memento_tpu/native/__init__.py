@@ -15,6 +15,7 @@ import os
 import numpy as np
 
 _LIB = None
+_LOAD_FAILED = False
 compress_group_native = None
 
 
@@ -22,9 +23,11 @@ _SOURCES = ("compress.cpp", "suffstats.cpp", "pairs.cpp")
 
 
 def _load():
-    global _LIB
+    global _LIB, _LOAD_FAILED
     if _LIB is not None:
         return _LIB
+    if _LOAD_FAILED:
+        return None
     here = os.path.dirname(__file__)
     path = os.path.join(here, "_native.so")
     sources = [os.path.join(here, f) for f in _SOURCES]
@@ -66,7 +69,28 @@ def _load():
             warnings.warn(
                 "memento_tpu.native: rebuild failed; loading the existing "
                 "(possibly stale) _native.so", RuntimeWarning)
-    _LIB = ctypes.CDLL(path)
+    try:
+        _LIB = ctypes.CDLL(path)
+    except OSError:
+        # A stale or foreign-platform binary (e.g. an x86-64 .so on arm64).
+        # Try one clean rebuild; if that cannot produce a loadable library,
+        # remember the failure so every caller takes the numpy fallback
+        # instead of re-raising OSError on each native-path call.
+        import subprocess
+        import warnings
+
+        try:
+            os.remove(path)
+            subprocess.run(["make"], cwd=os.path.dirname(path), check=True,
+                           capture_output=True, timeout=120)
+            _LIB = ctypes.CDLL(path)
+        except Exception:
+            warnings.warn(
+                "memento_tpu.native: _native.so could not be loaded or "
+                "rebuilt; falling back to the numpy data-plane paths",
+                RuntimeWarning)
+            _LOAD_FAILED = True
+            return None
     return _LIB
 
 

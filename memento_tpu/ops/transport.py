@@ -43,9 +43,9 @@ def compact_transport_dtype(X) -> Optional[np.dtype]:
         return None
     if not bool(np.all(np.mod(vals, 1) == 0)):
         return None
-    if vmax < 127:
+    if vmax <= 127:
         return np.dtype(np.int8)
-    if vmax < 32767:
+    if vmax <= 32767:
         return np.dtype(np.int16)
     return np.dtype(np.float32)
 

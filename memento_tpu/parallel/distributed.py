@@ -101,8 +101,13 @@ def merge_disjoint_rows(out: dict, owned: np.ndarray,
         arrs.append(a)
     merged = allreduce_hostsums(*arrs, precision=precision)
     owners = merged[0][..., 0] if len(shape) > 1 else merged[0]
-    if not np.all(owners == 1.0):
-        bad = np.nonzero(owners != 1.0)[0]
+    # allreduce_hostsums telescopes each partial as partial/n_local summed
+    # over local devices, so a legitimate owner count of 1 can come back as
+    # e.g. 3*(1/3) != 1.0 exactly — compare against the nearest integer
+    # with a tolerance instead of exact float equality.
+    ok = np.isclose(owners, 1.0, rtol=0, atol=1e-6)
+    if not np.all(ok):
+        bad = np.nonzero(~ok)[0]
         raise RuntimeError(
             f"inconsistent distributed tile partition: {bad.size} rows are "
             f"owned by {owners[bad[0]]:.0f} processes (first bad row "

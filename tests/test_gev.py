@@ -129,18 +129,28 @@ def test_refine_flagged_batch_shape(rng):
 
 
 def test_refine_batch_warns_below_tail_schedule(rng):
-    """num_boot < 300 clips the tail schedule -> loud RuntimeWarning."""
+    """num_boot < 300 clips the tail schedule -> ONE loud RuntimeWarning."""
+    import warnings
+
+    from memento_tpu.inference import gev as gev_mod
+
     B = 120  # < TAIL_SCHEDULE[0]
     stats = np.array([0.9, 0.3])
     nulls = rng.normal(0, 0.1, (2, B))
     fallbacks = np.full(2, 1.0 / (B + 1))
+    gev_mod._WARNED_SMALL_B = False  # reset the once-per-process latch
     with pytest.warns(RuntimeWarning, match="num_boot"):
         got = gev_refine_batch(stats, nulls, fallbacks)
     assert got.shape == (2,)
 
-    # and no warning at a healthy B
-    import warnings
+    # warns ONCE per process: a second small-B call (e.g. the next tile of a
+    # long run) stays silent even under an error filter
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        gev_refine_batch(stats, nulls, fallbacks)
 
+    # and no warning at a healthy B
+    gev_mod._WARNED_SMALL_B = False
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         gev_refine_batch(stats, rng.normal(0, 0.1, (2, 600)), fallbacks)

@@ -16,6 +16,17 @@ def test_mid_counts_int16():
     assert compact_transport_dtype(X) == np.int16
 
 
+def test_boundary_values_use_smallest_dtype():
+    """int8/int16 maxima (127, 32767) are exactly representable — they must
+    ship in the small dtype, not the next size up."""
+    assert compact_transport_dtype(
+        sparse.csr_matrix(np.array([[127.0]]))) == np.int8
+    assert compact_transport_dtype(
+        sparse.csr_matrix(np.array([[32767.0]]))) == np.int16
+    assert compact_transport_dtype(
+        sparse.csr_matrix(np.array([[32768.0]]))) == np.float32
+
+
 def test_negative_values_refuse_compact():
     """Integral but negative (e.g. batch-corrected layers) would WRAP in
     int8 — must fall back to float transport."""
