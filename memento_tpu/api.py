@@ -444,12 +444,19 @@ def compute_2d_moments(adata, gene_pairs, inplace=True):
 
 
 def _corr_from_cov_np(cov, var_1, var_2):
-    """Host cov->corr with reference semantics (ref ``estimator.py:273-292``)."""
-    var_1 = np.where(var_1 > 0, var_1, np.nan)
-    var_2 = np.where(var_2 > 0, var_2, np.nan)
-    with np.errstate(invalid="ignore"):
-        corr = cov / np.sqrt(var_1 * var_2)
-    return np.clip(corr, -1.0, 1.0)
+    """Host cov->corr with reference semantics (ref ``estimator.py:273-292``).
+
+    The reference's 5.0 sentinel for invalid-variance entries is clipped by
+    its own ``corr > 1`` step, so such entries come out as 1.0 (NOT NaN);
+    |corr| == 1 is treated as invalid downstream (ref
+    ``hypothesis_test.py:325``).  Pinned against the actual reference in
+    ``tests/test_reference_parity.py``.
+    """
+    invalid = ~(var_1 > 0) | ~(var_2 > 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = cov / np.sqrt(np.where(invalid, 1.0, var_1)
+                             * np.where(invalid, 1.0, var_2))
+    return np.where(invalid, 1.0, np.clip(corr, -1.0, 1.0))
 
 
 # ---------------------------------------------------------------------------

@@ -48,11 +48,14 @@ def asl_counting(coef, resampling: str, approx: bool):
     finite = jnp.isfinite(null)
     n_finite = finite.sum(-1)
 
-    # degenerate: all values (incl. observed) equal to their mean
-    mean_all = jnp.nanmean(coef, axis=-1)
-    degenerate = jnp.all(
-        jnp.where(jnp.isfinite(coef), coef == mean_all[..., None], True), axis=-1
-    )
+    # degenerate: all values (incl. observed) equal to their PLAIN mean —
+    # the reference's ``np.all(perm_diff == perm_diff.mean())`` (ref
+    # hypothesis_test.py:62): any NaN poisons the mean and every comparison
+    # is then False, so a row with NaNs is NEVER degenerate (an all-NaN
+    # row falls through to the counting path and yields p = 1.0, matching
+    # the reference's GEV-failure fallback — tests/test_reference_parity.py)
+    mean_all = jnp.mean(coef, axis=-1)
+    degenerate = jnp.all(coef == mean_all[..., None], axis=-1)
 
     if approx:
         null_f = jnp.where(finite, null, jnp.nan)

@@ -95,6 +95,31 @@ def fill_invalid(key, vals, valid):
 # ---------------------------------------------------------------------------
 
 
+def _dynamic_one_sample(treatment, good_t, treat_padded: bool):
+    """Per-item one-sample flags from the POST-DROP treatment matrices.
+
+    The reference checks ``(treatment == 1).mean() == 1`` on the treatment
+    subset to surviving groups (ref ``hypothesis_test.py:208-214, 262``), so
+    the one-sample decision is dynamic per gene/pair: dropping every group
+    of the contrast arm degrades the test to the one-sample weighted
+    average.  With ``treat_padded`` (per-item treatments, eQTL mode),
+    all-zero columns are Kt padding and are ignored.
+
+    Args:
+      treatment: ``[T, R, Kt]``; good_t: ``[T, R]`` bool.
+
+    Returns:
+      ``[T]`` bool.
+    """
+    ones = treatment == 1.0
+    live = good_t[:, :, None]
+    if treat_padded:
+        col_used = (treatment != 0.0).any(axis=1)[:, None, :]  # [T, 1, Kt]
+        return ((ones | ~live | ~col_used).all(axis=(1, 2))
+                & col_used.any(axis=(1, 2)))
+    return (ones | ~live).all(axis=(1, 2))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -108,6 +133,7 @@ def fill_invalid(key, vals, valid):
         "boot_chunk",
         "custom_1d",
         "sf_binned",
+        "treat_padded",
     ),
 )
 def ht_1d_tile(
@@ -135,7 +161,7 @@ def ht_1d_tile(
     boot_chunk: int = 1024,
     custom_1d=None,
     sf_binned: bool = False,
-    one_sample_vec=None,  # [T] traced bool: per-gene one-sample (eQTL mode)
+    treat_padded: bool = False,  # per-gene treatments with zero-padded cols
 ):
     """Differential mean/variability test for one tile of genes.
 
@@ -296,7 +322,9 @@ def ht_1d_tile(
         )
 
     gene_keys = jax.vmap(lambda i: fold_key(k_resample, i))(jnp.arange(t))
-    if one_sample_vec is None:
+    if one_sample:
+        # global all-ones treatment: every gene is one-sample regardless of
+        # dropped groups — skip the regression entirely (static fast path)
         mean_coef = jax.vmap(regress_gene, in_axes=(1, 0, 1, 0))(
             boot_mean, treatment, weights, gene_keys
         )  # [T, Kt, B+1]
@@ -304,11 +332,19 @@ def ht_1d_tile(
             boot_var, treatment, weights, gene_keys
         )
     else:
+        # The reference evaluates its one-sample check on the POST-DROP
+        # treatment matrix of each gene (``(treatment == 1).mean() == 1``
+        # after subsetting to good_idxs, ref hypothesis_test.py:208-214,
+        # 262): a gene whose surviving groups all carry treatment == 1
+        # silently degrades to the one-sample weighted average.  Compute
+        # the per-gene flag from the good mask; with per-gene treatments
+        # (eQTL mode), zero columns are Kt padding and are ignored.
+        os_vec = _dynamic_one_sample(treatment, good.T, treat_padded)  # [T]
         mean_coef = jax.vmap(regress_gene, in_axes=(1, 0, 1, 0, 0))(
-            boot_mean, treatment, weights, gene_keys, one_sample_vec
+            boot_mean, treatment, weights, gene_keys, os_vec
         )
         var_coef = jax.vmap(regress_gene, in_axes=(1, 0, 1, 0, 0))(
-            boot_var, treatment, weights, gene_keys, one_sample_vec
+            boot_var, treatment, weights, gene_keys, os_vec
         )
 
     # ---- SE + first-stage ASL ----------------------------------------------
@@ -360,6 +396,7 @@ def _nanstd(x, axis=-1):
         "boot_chunk",
         "custom_est",
         "sf_binned",
+        "treat_padded",
     ),
 )
 def ht_2d_tile(
@@ -385,7 +422,7 @@ def ht_2d_tile(
     boot_chunk: int = 1024,
     custom_est=None,  # (fn_1d, fn_cov) user estimators (reference custom API)
     sf_binned: bool = False,
-    one_sample_vec=None,  # [P] traced bool: per-pair one-sample (eQTL mode)
+    treat_padded: bool = False,  # per-pair treatments with zero-padded cols
 ):
     """Differential-correlation test for one tile of gene pairs.
 
@@ -516,13 +553,15 @@ def ht_2d_tile(
         )
 
     pair_keys = jax.vmap(lambda i: fold_key(k_resample, i))(jnp.arange(p))
-    if one_sample_vec is None:
+    if one_sample:
         corr_coef = jax.vmap(regress_pair, in_axes=(1, 0, 1, 0))(
             boot_corr, treatment, weights, pair_keys
         )  # [P, Kt, B+1]
     else:
+        # post-drop per-pair one-sample flags (see _dynamic_one_sample)
+        os_vec = _dynamic_one_sample(treatment, good.T, treat_padded)  # [P]
         corr_coef = jax.vmap(regress_pair, in_axes=(1, 0, 1, 0, 0))(
-            boot_corr, treatment, weights, pair_keys, one_sample_vec
+            boot_corr, treatment, weights, pair_keys, os_vec
         )
 
     corr_se = _nanstd(corr_coef[..., 1:])
@@ -688,28 +727,23 @@ def _global_value_max(compressed, groups) -> float:
                default=0.0)
 
 
-def _one_sample_flags(treatment: np.ndarray, per_item: bool):
-    """Resolve one-sample semantics following the reference's per-worker
-    check (``(treatment == 1).mean() == 1`` on the gene's whole treatment
-    matrix, ref ``hypothesis_test.py:262``).
+def _one_sample_flags(treatment: np.ndarray, per_item: bool) -> bool:
+    """Static all-items one-sample shortcut (``(treatment == 1).mean() == 1``
+    for every gene pre-drop, ref ``hypothesis_test.py:262``).
 
-    Returns:
-      (one_sample_static, per_item_vec): for shared 2-D treatments the check
-      is global (matches the reference exactly).  For per-gene 3-D
-      treatments (eQTL mode) each gene gets its own flag; zero-padded
-      columns (genes with fewer tests than the padded Kt) are ignored.
-      per_item_vec is None when every gene agrees (pure static paths).
+    When True the tiles skip the regression entirely (a globally all-ones
+    treatment stays all-ones after any group drop).  Otherwise the tiles
+    evaluate the reference's check dynamically per gene on the POST-DROP
+    treatment matrix (``_dynamic_one_sample``), which also captures genes
+    that degrade to one-sample because every contrast-arm group was
+    dropped.
     """
     if not per_item:
-        return bool(np.all(treatment == 1)), None
+        return bool(np.all(treatment == 1))
     col_used = (treatment != 0).any(axis=1)  # [G, Kt]; False = padding
     vec = np.all((treatment == 1) | ~col_used[:, None, :], axis=(1, 2)) \
         & col_used.any(axis=1)
-    if vec.all():
-        return True, None
-    if not vec.any():
-        return False, None
-    return False, vec
+    return bool(vec.all())
 
 
 def _check_distributed(distributed: bool, mesh) -> int:
@@ -846,7 +880,7 @@ def run_ht_1d(
 
     per_gene_treatment = treatment.ndim == 3
     kt = treatment.shape[-1]
-    one_sample, os_vec = _one_sample_flags(treatment, per_gene_treatment)
+    one_sample = _one_sample_flags(treatment, per_gene_treatment)
 
     if tile_size is None:
         tile_size = min(default_tile_size(r, num_boot), _round_up(g, 64))
@@ -1000,10 +1034,6 @@ def run_ht_1d(
                     jnp.asarray(covariate, dtype=jnp.float32),
                     jnp.asarray(treat_tile, dtype=jnp.float32),
                 )
-            os_kw = {}
-            if os_vec is not None:
-                os_tile = jnp.asarray(_pad_axis(os_vec[sl], t, 0, False))
-                os_kw["one_sample_vec"] = os_tile
             if mesh is not None:
                 from ..parallel.sharded import HT1D_GENE_AXES, shard_ht_inputs
 
@@ -1011,16 +1041,9 @@ def run_ht_1d(
                 if binned:  # inv_sf_sq is the [R, NB] table: no gene axis
                     gene_axes.pop(4, None)
                 tile_args = shard_ht_inputs(mesh, tile_args, gene_axes)
-                if os_vec is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-
-                    os_kw["one_sample_vec"] = jax.device_put(
-                        os_kw["one_sample_vec"], NamedSharding(mesh, P("model"))
-                    )
             with profiling.phase("ht1d.dispatch"):
                 res = ht_1d_tile(
                     *tile_args,
-                    **os_kw,
                     num_boot=num_boot,
                     model=model,
                     sampler=tile_sampler,
@@ -1031,6 +1054,7 @@ def run_ht_1d(
                     boot_chunk=min(boot_chunk, num_boot),
                     custom_1d=custom_1d,
                     sf_binned=binned,
+                    treat_padded=per_gene_treatment,
                 )
             pending.append((start, stop, res))
             while len(pending) > max_pending:
@@ -1102,7 +1126,7 @@ def run_ht_2d(
 
     per_pair_treatment = treatment.ndim == 3
     kt = treatment.shape[-1]
-    one_sample, os_vec = _one_sample_flags(treatment, per_pair_treatment)
+    one_sample = _one_sample_flags(treatment, per_pair_treatment)
     if tile_size is None:
         tile_size = min(default_tile_size(r, num_boot), _round_up(p, 64))
     if mesh is not None:
@@ -1247,11 +1271,6 @@ def run_ht_2d(
                     jnp.asarray(covariate, dtype=jnp.float32),
                     jnp.asarray(treat_tile, dtype=jnp.float32),
                 )
-            os_kw = {}
-            if os_vec is not None:
-                os_kw["one_sample_vec"] = jnp.asarray(
-                    _pad_axis(os_vec[sl], t, 0, False)
-                )
             if mesh is not None:
                 from ..parallel.sharded import HT2D_PAIR_AXES, shard_ht_inputs
 
@@ -1259,12 +1278,6 @@ def run_ht_2d(
                 if binned:  # inv_sf_sq is the [R, NB] table: no pair axis
                     pair_axes.pop(5, None)
                 tile_args = shard_ht_inputs(mesh, tile_args, pair_axes)
-                if os_vec is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-
-                    os_kw["one_sample_vec"] = jax.device_put(
-                        os_kw["one_sample_vec"], NamedSharding(mesh, P("model"))
-                    )
             with profiling.phase("ht2d.dispatch"):
                 res = ht_2d_tile(
                     *tile_args,
@@ -1278,6 +1291,7 @@ def run_ht_2d(
                     boot_chunk=min(boot_chunk, num_boot),
                     custom_est=custom_est,
                     sf_binned=binned,
+                    treat_padded=per_pair_treatment,
                 )
             pending.append((start, stop, res))
             while len(pending) > max_pending:

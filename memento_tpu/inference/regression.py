@@ -20,6 +20,12 @@ import jax.numpy as jnp
 
 _EPS = 1e-12
 
+# ssA below this fraction of the raw treatment's second moment is treated as
+# "no residual contrast" (the reference's exact-lstsq 0/0 -> NaN case); the
+# ridge residual of an in-span treatment is O(1e-6) relative -> ssA O(1e-12),
+# while a real contrast gives ssA of order the treatment variance.
+DEGENERATE_RTOL = 1e-9
+
 
 def wls_residualize(covariate, y, weights):
     """Residualize ``y`` on ``covariate`` (plus intercept) under WLS.
@@ -61,12 +67,24 @@ def cross_coef(A, B, weights):
     Returns:
       ``[Kt, M]``.
     """
-    wsum = weights.sum() + _EPS
+    # The reference's plain divisions (ref hypothesis_test.py:218-228) turn
+    # a treatment with no residual contrast — e.g. every surviving group in
+    # the same arm, where sklearn's exact lstsq leaves residual 0 — into
+    # 0/0 = NaN coefficients (downstream: empty null, p-value 1.0).  The
+    # trace-scaled ridge in wls_residualize leaves an O(1e-6) residual
+    # instead of an exact 0, so the degenerate case is detected by a
+    # scale-relative threshold rather than exact 0/0; an epsilon guard here
+    # would instead emit garbage finite coefficients (caught side-by-side
+    # in tests/test_reference_parity.py).  A fully-dropped gene (all
+    # weights 0) comes out NaN and is nanified by the tile epilogues.
+    wsum = weights.sum()
     A_c = A - (weights[:, None] * A).sum(0) / wsum
     B_c = B - (weights[:, None] * B).sum(0) / wsum
     ssA = (weights[:, None] * A_c * A_c).sum(0) / wsum  # [Kt]
+    scaleA = (weights[:, None] * A * A).sum(0) / wsum  # [Kt]
+    dead = ssA <= DEGENERATE_RTOL * scaleA
     num = (A_c * weights[:, None]).T @ B_c / wsum  # [Kt, M]
-    return num / (ssA[:, None] + _EPS)
+    return jnp.where(dead[:, None], jnp.nan, num / (ssA[:, None] + _EPS))
 
 
 def cross_coef_resampled(A, B, weights):
@@ -80,24 +98,47 @@ def cross_coef_resampled(A, B, weights):
     Returns:
       ``[Kt, M]``.
     """
-    wsum = weights.sum(0) + _EPS  # [M]
+    # A resampled replicate set with no treatment contrast (all draws from
+    # one arm) is NaN in the reference (exact 0/0, ref hypothesis_test.py:
+    # 231-239) and those NaN columns are excluded from the null by the
+    # finite filter; detected here by the same scale-relative threshold as
+    # cross_coef (see there and tests/test_reference_parity.py).  Callers
+    # guarantee wsum > 0 (resampled_indices only draws live rows).
+    wsum = weights.sum(0)  # [M]
     B_c = B - (weights * B).sum(0) / wsum
     A_c = A - (A * weights[..., None]).sum(0) / wsum[:, None]
     ssA = (A_c**2 * weights[..., None]).sum(0) / wsum[:, None]  # [M, Kt]
+    scaleA = (A**2 * weights[..., None]).sum(0) / wsum[:, None]  # [M, Kt]
+    dead = ssA <= DEGENERATE_RTOL * scaleA
     num = jnp.einsum("rmk,rm->mk", A_c * weights[..., None], B_c)  # [M, Kt]
-    return (num / wsum[:, None] / (ssA + _EPS)).T
+    return jnp.where(dead, jnp.nan, num / wsum[:, None] / (ssA + _EPS)).T
 
 
-def resampled_indices(key, num_rep: int, num_boot: int):
+def resampled_indices(key, num_rep: int, num_boot: int, good=None):
     """Random hierarchical-bootstrap assignments (ref ``hypothesis_test.py:
     275-278``): column 0 keeps the observed configuration.
+
+    The reference subsets to surviving groups BEFORE resampling, so its
+    replicate draws are uniform over live rows only.  In the padded tile
+    representation dropped groups stay as zero-weight rows; with ``good``
+    given, live rows draw uniformly from live rows (matching the
+    reference's distribution) and dead rows keep their own index (their
+    zero weight excludes them from every weighted sum).
 
     Returns:
       (rep_assign, iter_assign): both ``[R, B]`` int32, where column 0 is
       (arange(R), 0).
     """
     k1, k2 = jax.random.split(key)
-    rep = jax.random.randint(k1, (num_rep, num_boot), 0, num_rep)
+    if good is None:
+        rep = jax.random.randint(k1, (num_rep, num_boot), 0, num_rep)
+    else:
+        good = jnp.asarray(good, bool)
+        n_good = jnp.maximum(good.sum().astype(jnp.int32), 1)
+        order = jnp.argsort(~good, stable=True)  # live rows first
+        u = jax.random.randint(k1, (num_rep, num_boot), 0, n_good)
+        rep = jnp.where(good[:, None], order[u],
+                        jnp.arange(num_rep, dtype=order.dtype)[:, None])
     rep = rep.at[:, 0].set(jnp.arange(num_rep))
     it = jax.random.randint(k2, (num_rep, num_boot), 0, num_boot) + 1
     it = it.at[:, 0].set(0)
@@ -144,7 +185,8 @@ def meta_regress(covariate, treatment, stats, weights, one_sample: bool,
     if resample_rep:
         num_rep = stats.shape[0]
         num_boot = stats.shape[1] - 1
-        rep, it = resampled_indices(key, num_rep, num_boot)
+        rep, it = resampled_indices(key, num_rep, num_boot,
+                                    good=weights > 0)
         stats_rs = stats_t[rep, it]  # [R, B]
         treat_rs = treat_t[rep]  # [R, B, Kt]
         w_rs = weights[rep]  # [R, B]

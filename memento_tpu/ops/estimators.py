@@ -313,15 +313,24 @@ def cov_compressed(v1, v2, counts, inv_sf, inv_sf_sq, n_obs):
 
 
 def corr_from_cov(cov, var_1, var_2):
-    """Covariance -> correlation with the reference's NaN semantics.
+    """Covariance -> correlation with the reference's sentinel semantics.
 
-    Mirrors ``_corr_from_cov`` (ref ``estimator.py:273-292``): entries with
-    non-positive variance become NaN, the rest are clipped to [-1, 1].
+    Mirrors ``_corr_from_cov`` (ref ``estimator.py:273-292``) EXACTLY: the
+    reference initializes the output to a 5.0 sentinel, overwrites only
+    entries whose variance product is finite-positive, then clips to
+    [-1, 1] — so an entry with a non-positive (or NaN) variance comes out
+    as **1.0**, not NaN (the ``corr > 1`` clip swallows the sentinel).
+    Downstream both sides treat |corr| == 1 as invalid (group skipped,
+    ref ``hypothesis_test.py:325``), but bootstrap replicates with an
+    invalid variance enter the null distribution as 1.0 — verified
+    side-by-side against the actual reference code in
+    ``tests/test_reference_parity.py``.  A NaN covariance stays NaN.
     """
-    var_1 = jnp.where(var_1 > 0, var_1, jnp.nan)
-    var_2 = jnp.where(var_2 > 0, var_2, jnp.nan)
-    corr = cov / jnp.sqrt(var_1 * var_2)
-    return jnp.clip(corr, -1.0, 1.0)
+    invalid = ~(var_1 > 0) | ~(var_2 > 0)  # includes NaN variances
+    safe_v1 = jnp.where(invalid, 1.0, var_1)
+    safe_v2 = jnp.where(invalid, 1.0, var_2)
+    corr = cov / jnp.sqrt(safe_v1 * safe_v2)
+    return jnp.where(invalid, 1.0, jnp.clip(corr, -1.0, 1.0))
 
 
 __all__ = [
