@@ -908,7 +908,7 @@ def run_ht_1d(
             csl = sl
         else:
             comps = [
-                compress_group(grp[:, start:stop], asf)
+                compress_group(grp, asf, cols=(start, stop))
                 for grp, asf in zip(groups, approx_sf)
             ]
             # bucket U to limit distinct compiled shapes

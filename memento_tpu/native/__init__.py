@@ -235,6 +235,137 @@ def _compress_group_native(X, approx_sf, pad_multiple=8, min_u=8):
     )
 
 
+def _compress_range_prep(X, approx_sf):
+    """Per-(matrix, size-factor) prep for the range packer, cached on the
+    matrix object: the int64 indptr, int32 bin ids, global bin occupancy and
+    bin values.  All O(G) or O(N) ONCE — repeated tile calls reuse it, so
+    per-tile packing touches only the tile's nonzeros."""
+    from ..ops.size_factor import factorize_approx_sf
+
+    key = (id(approx_sf), X.nnz)
+    prep = getattr(X, "_memento_range_prep", None)
+    if prep is not None and prep[0] == key:
+        return prep[1]
+    bin_values, bin_ids = factorize_approx_sf(approx_sf)
+    indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
+    bins = np.ascontiguousarray(bin_ids, dtype=np.int32)
+    binvals = np.ascontiguousarray(bin_values, dtype=np.float64)
+    bin_total = np.bincount(bins, minlength=len(bin_values)).astype(np.int64)
+    # the kernel truncates data via floor(x + 0.5): exact for the integral
+    # count data this path serves; non-integral data falls back to the
+    # np.round-ing slice path (checked once per matrix, cached).  Chunked so
+    # the check never materializes an nnz-sized temporary at atlas scale.
+    ok = True
+    d = X.data
+    step = 1 << 24
+    for s in range(0, d.size, step):
+        if not bool(np.all(np.mod(d[s:s + step], 1) == 0)):
+            ok = False
+            break
+    out = (indptr, bins, binvals, bin_total) if ok else None
+    try:
+        X._memento_range_prep = (key, out)
+    except AttributeError:  # exotic matrix subclasses without __dict__
+        pass
+    return out
+
+
+def _compress_group_range_native(X, approx_sf, col_start, col_stop,
+                                 pad_multiple=8, min_u=8):
+    """Zero-copy column-range packer (CSC input, scipy-native dtypes).
+
+    Packs genes [col_start, col_stop) straight from ``X.indices`` /
+    ``X.data`` as stored (int32/int64, float32/float64) — no slicing, no
+    int64 conversion, no host ``np.round`` pass.  Returns None when the
+    kernel or a supported dtype combination is unavailable (callers fall
+    back to the slicing path).
+    """
+    import scipy.sparse as sparse
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "compress_group_compact_range"):
+        return None
+    if not sparse.issparse(X) or X.format != "csc":
+        return None
+    if X.indices.dtype not in (np.int32, np.int64):
+        return None
+    if X.data.dtype not in (np.float32, np.float64):
+        return None
+    indices = X.indices if X.indices.flags.c_contiguous else \
+        np.ascontiguousarray(X.indices)
+    data = X.data if X.data.flags.c_contiguous else \
+        np.ascontiguousarray(X.data)
+    from ..ops.compress import CompressedGroup
+
+    prep = _compress_range_prep(X, approx_sf)
+    if prep is None:  # non-integral data: take the rounding slice path
+        return None
+    indptr, bins, binvals, bin_total = prep
+    nbins = len(binvals)
+    ncols = col_stop - col_start
+
+    nnz_col = np.diff(indptr[col_start:col_stop + 1])
+    cap_off = np.zeros(ncols + 1, dtype=np.int64)
+    np.cumsum(nbins + nnz_col, out=cap_off[1:])
+    total_cap = int(cap_off[-1])
+    cv = np.empty(total_cap, dtype=np.float32)
+    ccnt = np.empty(total_cap, dtype=np.float32)
+    cisf = np.empty(total_cap, dtype=np.float32)
+    with_bins = nbins + 1 <= 255
+    cbin = np.empty(total_cap, dtype=np.uint8) if with_bins else None
+    n_unique = np.zeros(ncols, dtype=np.int32)
+    if ncols:
+        lib.compress_group_compact_range(
+            ctypes.c_int64(col_start),
+            ctypes.c_int64(col_stop),
+            ctypes.c_int32(nbins),
+            indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            indices.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int32(1 if indices.dtype == np.int64 else 0),
+            data.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int32(1 if data.dtype == np.float32 else 0),
+            bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            bin_total.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            binvals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            cap_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ccnt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cisf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cbin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            if with_bins else ctypes.POINTER(ctypes.c_uint8)(),
+            n_unique.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    u_max = int(n_unique.max()) if ncols else min_u
+    u_max = max(min_u,
+                ((u_max + pad_multiple - 1) // pad_multiple) * pad_multiple)
+    values = np.zeros((ncols, u_max), dtype=np.float32)
+    counts = np.zeros((ncols, u_max), dtype=np.float32)
+    inv_sf = np.ones((ncols, u_max), dtype=np.float32)
+    sf_bin = np.zeros((ncols, u_max), dtype=np.uint8) if with_bins else None
+    if ncols and n_unique.any():
+        rows = np.repeat(np.arange(ncols), n_unique)
+        starts = np.concatenate(([0], np.cumsum(n_unique)[:-1]))
+        cols = np.arange(int(n_unique.sum()), dtype=np.int64) - np.repeat(
+            starts, n_unique)
+        src = np.repeat(cap_off[:-1], n_unique) + cols
+        values[rows, cols] = cv[src]
+        counts[rows, cols] = ccnt[src]
+        inv_sf[rows, cols] = cisf[src]
+        if with_bins:
+            sf_bin[rows, cols] = cbin[src]
+    return CompressedGroup(
+        values=values,
+        counts=counts,
+        inv_sf=inv_sf,
+        inv_sf_sq=(inv_sf * inv_sf).astype(np.float32),
+        n_obs=X.shape[0],
+        n_unique=n_unique,
+        sf_bin=sf_bin,
+        bin_inv_sf=np.concatenate([[1.0], 1.0 / binvals]).astype(np.float32)
+        if with_bins else None,
+    )
+
+
 def _f32_exact(data) -> bool:
     """True when casting ``data`` to float32 is lossless (the native kernels
     compute on f32 inputs; for f64 matrices with non-representable values the
@@ -555,8 +686,11 @@ def col_sums_csr_native(X):
 
 
 compress_pairs_native = None
+compress_group_range_native = None
 
 if available():  # pragma: no cover - depends on build
     compress_group_native = _compress_group_native
     if hasattr(_LIB, "compress_pairs_compact"):
         compress_pairs_native = _compress_pairs_native
+    if hasattr(_LIB, "compress_group_compact_range"):
+        compress_group_range_native = _compress_group_range_native

@@ -75,7 +75,7 @@ class CompressedGroup:
 
 
 def compress_group(X, approx_sf, pad_multiple: int = 8, min_u: int = 8,
-                   backend: str = "auto") -> CompressedGroup:
+                   backend: str = "auto", cols=None) -> CompressedGroup:
     """Compress a group's cell x gene matrix into padded unique-value tiles.
 
     Args:
@@ -85,26 +85,45 @@ def compress_group(X, approx_sf, pad_multiple: int = 8, min_u: int = 8,
       pad_multiple: pad U to a multiple of this (sublane alignment).
       min_u: lower bound on padded U.
       backend: 'auto' | 'numpy' | 'native'.
+      cols: optional ``(start, stop)`` gene range — compress only those
+        columns.  On the native CSC path this packs straight from the
+        matrix's own index/data buffers (zero copies, conversions cached
+        per matrix), which is how the tiled HT orchestrators avoid
+        re-paying O(slice nnz) dtype conversions on every tile.
 
     Returns:
       CompressedGroup with exact (value, sf-bin) multiplicities.
     """
     if backend in ("auto", "native"):
-        native = _try_native(X, approx_sf, pad_multiple, min_u)
+        native = _try_native(X, approx_sf, pad_multiple, min_u, cols)
         if native is not None:
             return native
         if backend == "native":
             raise RuntimeError("native compressor requested but unavailable")
+    if cols is not None:
+        X = X.tocsc()[:, cols[0]:cols[1]] if sparse.issparse(X) \
+            else np.asarray(X)[:, cols[0]:cols[1]]
     return _compress_group_numpy(X, approx_sf, pad_multiple, min_u)
 
 
-def _try_native(X, approx_sf, pad_multiple, min_u):
+def _try_native(X, approx_sf, pad_multiple, min_u, cols=None):
     try:
-        from ..native import compress_group_native
+        from ..native import (compress_group_native,
+                              compress_group_range_native)
     except Exception:
         return None
+    if sparse.issparse(X) and X.format == "csc" \
+            and compress_group_range_native is not None:
+        start, stop = (0, X.shape[1]) if cols is None else cols
+        out = compress_group_range_native(X, approx_sf, start, stop,
+                                          pad_multiple, min_u)
+        if out is not None:
+            return out
     if compress_group_native is None:
         return None
+    if cols is not None:
+        X = (X.tocsc() if sparse.issparse(X) else sparse.csc_matrix(X))[
+            :, cols[0]:cols[1]]
     return compress_group_native(X, approx_sf, pad_multiple, min_u)
 
 

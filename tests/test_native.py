@@ -172,3 +172,66 @@ def test_native_pair_prods_matches_scipy(rng):
     ref = np.asarray(
         (X[:, idx1].multiply(inv2 @ X[:, idx2])).sum(axis=0)).ravel()
     np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+
+@pytest.mark.skipif(not _ensure_built(), reason="native build unavailable")
+def test_range_packer_matches_numpy(rng):
+    """Zero-copy column-range packer == numpy oracle on the matching slice,
+    across index dtypes (int32/int64), data dtypes (f32/f64) and ranges."""
+    if native.compress_group_range_native is None:
+        pytest.skip("range packer symbol unavailable")
+    n, g = 700, 23
+    X = rng.poisson(0.9, size=(n, g)).astype(np.float64)
+    X[:, 3] = 0  # an all-zero gene
+    sf = rng.random(n) + 0.5
+    approx_sf = bin_size_factor(sf, num_bins=12)
+
+    def combos(c, j, u):
+        arr = np.stack(
+            [c.values[j, :u], 1.0 / c.inv_sf[j, :u], c.counts[j, :u]],
+            axis=1,
+        )
+        return arr[np.lexsort((arr[:, 1], arr[:, 0]))]
+
+    variants = []
+    base = sparse.csc_matrix(X)
+    variants.append(base)
+    variants.append(sparse.csc_matrix(X.astype(np.float32)))
+    wide = base.copy()
+    wide.indices = wide.indices.astype(np.int64)
+    wide.indptr = wide.indptr.astype(np.int64)
+    variants.append(wide)
+
+    for Xs in variants:
+        for (a, b) in [(0, g), (4, 17), (17, g), (0, 1)]:
+            got = native.compress_group_range_native(Xs, approx_sf, a, b)
+            assert got is not None
+            ref = _compress_group_numpy(base[:, a:b], approx_sf, 8, 8)
+            np.testing.assert_array_equal(got.n_unique, ref.n_unique)
+            assert got.n_obs == n
+            for j in range(b - a):
+                u = ref.n_unique[j]
+                np.testing.assert_allclose(combos(got, j, u),
+                                           combos(ref, j, u), rtol=1e-6)
+                assert np.all(got.counts[j, u:] == 0)
+            # compact-transport ids reconstruct inv_sf exactly
+            if got.sf_bin is not None:
+                np.testing.assert_array_equal(
+                    got.bin_inv_sf[got.sf_bin], got.inv_sf)
+
+
+@pytest.mark.skipif(not _ensure_built(), reason="native build unavailable")
+def test_range_packer_fractional_falls_back(rng):
+    """Non-integral data must not take the truncating range kernel."""
+    if native.compress_group_range_native is None:
+        pytest.skip("range packer symbol unavailable")
+    n, g = 300, 5
+    X = sparse.csc_matrix(rng.poisson(1.0, size=(n, g)) + 0.5)
+    sf = rng.random(n) + 0.5
+    approx_sf = bin_size_factor(sf, num_bins=8)
+    assert native.compress_group_range_native(X, approx_sf, 0, g) is None
+    # the public entry still works via the rounding fallback
+    from memento_tpu.ops.compress import compress_group
+    got = compress_group(X, approx_sf, cols=(1, 4))
+    ref = _compress_group_numpy(X[:, 1:4], approx_sf, 8, 8)
+    np.testing.assert_array_equal(got.n_unique, ref.n_unique)
