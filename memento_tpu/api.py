@@ -762,7 +762,15 @@ def ht_2d_moments(
             if treat_arg.ndim == 2 and treat_arg.shape[1] > 1:
                 # the 2D result stores one statistic per pair (ref
                 # hypothesis_test.py:367-415 returns a scalar); extra
-                # columns are computed but not reported
+                # columns would be computed and DISCARDED, so slice to the
+                # reported column before dispatch — the regression treats
+                # columns independently, so column 0's coef/SE/p are
+                # unchanged.  (Corner: the per-pair one-sample check then
+                # sees only column 0; the reference evaluates it on the
+                # whole matrix.  The two differ only for pairs whose
+                # surviving groups all carry treatment[:, 0] == 1 while
+                # another column has non-1 entries — both conventions
+                # produce degenerate output there.)
                 import warnings
 
                 warnings.warn(
@@ -772,6 +780,7 @@ def ht_2d_moments(
                     "hypothesis_test.py:367-415); run per-column or use "
                     "treatment_for_gene to select columns per pair",
                     UserWarning, stacklevel=2)
+                treat_arg = treat_arg[:, :1]
 
         def run_pair_block(start, stop):
             sl = slice(start, stop)

@@ -171,6 +171,20 @@ def test_2d_multicolumn_treatment_warns(base):
     with pytest.warns(UserWarning, match="FIRST treatment column"):
         mt.ht_2d_moments(adata, covariate=cov, treatment=tx2,
                          num_boot=100, tile_size=8, resampling="bootstrap")
+    multi = mt.get_2d_ht_result(adata)
+
+    # since only column 0 is reported, the extra columns are sliced off
+    # before dispatch — the result must equal the single-column run exactly
+    adata2 = base.copy()
+    cov2, tx_single = _prep(adata2)
+    mt.compute_2d_moments(adata2, [(genes[0], genes[1])])
+    mt.ht_2d_moments(adata2, covariate=cov2, treatment=tx_single,
+                     num_boot=100, tile_size=8, resampling="bootstrap")
+    single = mt.get_2d_ht_result(adata2)
+    np.testing.assert_allclose(multi.corr_coef.values,
+                               single.corr_coef.values, equal_nan=True)
+    np.testing.assert_allclose(multi.corr_pval.values,
+                               single.corr_pval.values, equal_nan=True)
 
 
 def test_distributed_checkpoint_guard(base, tmp_path):
