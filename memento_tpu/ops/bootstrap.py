@@ -104,6 +104,35 @@ def bootstrap_2d(key, values_1, values_2, counts, inv_sf, inv_sf_sq, n_obs, q,
     return cov, var_1, var_2
 
 
+def _estimator_1d_traceable(custom_fn, u: int, b: int) -> bool:
+    """Probe whether a user estimator traces under JAX with the reference
+    calling convention; numpy-only estimators (np.asarray / scipy calls /
+    in-place mutation) raise during abstract evaluation and take the
+    ``pure_callback`` host path instead."""
+    import jax
+
+    f32 = jnp.float32
+
+    def call(v, d, isf, isf2, n, qq):
+        out = custom_fn(data=(v[:, None], d), n_obs=n, q=qq,
+                        size_factor=(isf[:, None], isf2[:, None]))
+        return out[0], out[1]
+
+    try:
+        m, v = jax.eval_shape(
+            call,
+            jax.ShapeDtypeStruct((u,), f32),
+            jax.ShapeDtypeStruct((u, b), f32),
+            jax.ShapeDtypeStruct((u,), f32),
+            jax.ShapeDtypeStruct((u,), f32),
+            jax.ShapeDtypeStruct((), f32),
+            jax.ShapeDtypeStruct((), f32),
+        )
+        return tuple(m.shape)[-1:] == (b,) and tuple(v.shape)[-1:] == (b,)
+    except Exception:
+        return False
+
+
 def bootstrap_1d_custom(key, custom_fn, values, counts, inv_sf, inv_sf_sq,
                         n_obs, q, num_boot: int, sampler: str = "multinomial"):
     """Bootstrap with a user-supplied 1D estimator (reference custom API).
@@ -111,10 +140,12 @@ def bootstrap_1d_custom(key, custom_fn, values, counts, inv_sf, inv_sf_sq,
     The reference accepts custom ``(fn_1d, fn_cov)`` estimators called as
     ``fn(data=(expr[U,1], rvs[U,B]), n_obs=..., q=..., size_factor=
     (inv_sf[U,1], inv_sf_sq[U,1]))`` returning ``[mean, var]``
-    (ref ``estimator.py:31-32``, ``bootstrap.py:106-110``).  Any
-    JAX-traceable function with that signature works here; it is vmapped
-    over the gene tile on materialized resample counts (the fused weighted-
-    sum path only applies to the built-in moment structure).
+    (ref ``estimator.py:31-32``, ``bootstrap.py:106-110``).  A JAX-traceable
+    function is vmapped over the gene tile on materialized resample counts;
+    a numpy-only estimator (exactly as written for the reference) is
+    detected by a trace probe and evaluated on the HOST via
+    ``jax.pure_callback`` — slower (one host round-trip per tile, like the
+    reference's own per-gene loop) but drop-in compatible.
 
     Args:
       values, counts, inv_sf, inv_sf_sq: ``[T, U]`` compressed tiles.
@@ -126,18 +157,41 @@ def bootstrap_1d_custom(key, custom_fn, values, counts, inv_sf, inv_sf_sq,
         sampler = "multinomial"
     draws = bootstrap_counts(key, counts, n_obs, num_boot, sampler)  # [T,U,B]
 
-    def per_gene(v, d, isf, isf2):
-        out = custom_fn(
-            data=(v[:, None], d),
-            n_obs=n_obs,
-            q=q,
-            size_factor=(isf[:, None], isf2[:, None]),
-        )
-        return out[0], out[1]
-
     import jax
 
-    return jax.vmap(per_gene)(values, draws, inv_sf, inv_sf_sq)
+    t, u = values.shape
+    b = num_boot
+    if _estimator_1d_traceable(custom_fn, u, b):
+        def per_gene(v, d, isf, isf2):
+            out = custom_fn(
+                data=(v[:, None], d),
+                n_obs=n_obs,
+                q=q,
+                size_factor=(isf[:, None], isf2[:, None]),
+            )
+            return out[0], out[1]
+
+        return jax.vmap(per_gene)(values, draws, inv_sf, inv_sf_sq)
+
+    import numpy as np
+
+    def host_eval(values_h, draws_h, isf_h, isf2_h, n_h, q_h):
+        means = np.empty((t, b), np.float32)
+        variances = np.empty((t, b), np.float32)
+        for ti in range(t):
+            out = custom_fn(
+                data=(values_h[ti][:, None], draws_h[ti]),
+                n_obs=float(n_h),
+                q=float(q_h),
+                size_factor=(isf_h[ti][:, None], isf2_h[ti][:, None]),
+            )
+            means[ti] = np.asarray(out[0], np.float32)
+            variances[ti] = np.asarray(out[1], np.float32)
+        return means, variances
+
+    shape = jax.ShapeDtypeStruct((t, b), jnp.float32)
+    return jax.pure_callback(host_eval, (shape, shape), values, draws,
+                             inv_sf, inv_sf_sq, n_obs, q)
 
 
 def bootstrap_2d_custom(key, custom_1d, custom_cov, values_1, values_2,
@@ -148,9 +202,9 @@ def bootstrap_2d_custom(key, custom_1d, custom_cov, values_1, values_2,
     The reference calls a custom covariance estimator as
     ``fn_cov(data=(expr1[U,1], expr2[U,1], rvs[U,B]), n_obs=..., q=...,
     size_factor=(inv_sf, inv_sf_sq))`` and the 1D estimator on each marginal
-    (ref ``bootstrap.py:141-155``).  Any JAX-traceable pair with those
-    signatures works here; they are vmapped over the pair tile on
-    materialized resample counts.
+    (ref ``bootstrap.py:141-155``).  A JAX-traceable pair is vmapped over
+    the pair tile on materialized resample counts; numpy-only estimators
+    take the host ``pure_callback`` path (see ``bootstrap_1d_custom``).
 
     Args:
       values_1, values_2, counts, inv_sf, inv_sf_sq: ``[P, U]`` joint
@@ -163,21 +217,70 @@ def bootstrap_2d_custom(key, custom_1d, custom_cov, values_1, values_2,
         sampler = "multinomial"
     draws = bootstrap_counts(key, counts, n_obs, num_boot, sampler)  # [P,U,B]
 
-    def per_pair(v1, v2, d, isf, isf2):
-        sf = (isf[:, None], isf2[:, None])
-        cov = custom_cov(
-            data=(v1[:, None], v2[:, None], d), n_obs=n_obs, q=q,
-            size_factor=sf,
-        )
-        _, var_1 = custom_1d(data=(v1[:, None], d), n_obs=n_obs, q=q,
-                             size_factor=sf)
-        _, var_2 = custom_1d(data=(v2[:, None], d), n_obs=n_obs, q=q,
-                             size_factor=sf)
-        return cov, var_1, var_2
-
     import jax
 
-    return jax.vmap(per_pair)(values_1, values_2, draws, inv_sf, inv_sf_sq)
+    p, u = values_1.shape
+    b = num_boot
+
+    def _cov_traceable() -> bool:
+        f32 = jnp.float32
+
+        def call(v1, v2, d, isf, isf2, n, qq):
+            return custom_cov(data=(v1[:, None], v2[:, None], d), n_obs=n,
+                              q=qq, size_factor=(isf[:, None], isf2[:, None]))
+
+        try:
+            out = jax.eval_shape(
+                call,
+                jax.ShapeDtypeStruct((u,), f32),
+                jax.ShapeDtypeStruct((u,), f32),
+                jax.ShapeDtypeStruct((u, b), f32),
+                jax.ShapeDtypeStruct((u,), f32),
+                jax.ShapeDtypeStruct((u,), f32),
+                jax.ShapeDtypeStruct((), f32),
+                jax.ShapeDtypeStruct((), f32),
+            )
+            return tuple(out.shape)[-1:] == (b,)
+        except Exception:
+            return False
+
+    if _estimator_1d_traceable(custom_1d, u, b) and _cov_traceable():
+        def per_pair(v1, v2, d, isf, isf2):
+            sf = (isf[:, None], isf2[:, None])
+            cov = custom_cov(
+                data=(v1[:, None], v2[:, None], d), n_obs=n_obs, q=q,
+                size_factor=sf,
+            )
+            _, var_1 = custom_1d(data=(v1[:, None], d), n_obs=n_obs, q=q,
+                                 size_factor=sf)
+            _, var_2 = custom_1d(data=(v2[:, None], d), n_obs=n_obs, q=q,
+                                 size_factor=sf)
+            return cov, var_1, var_2
+
+        return jax.vmap(per_pair)(values_1, values_2, draws, inv_sf, inv_sf_sq)
+
+    import numpy as np
+
+    def host_eval(v1_h, v2_h, draws_h, isf_h, isf2_h, n_h, q_h):
+        cov = np.empty((p, b), np.float32)
+        var_1 = np.empty((p, b), np.float32)
+        var_2 = np.empty((p, b), np.float32)
+        for pi in range(p):
+            sf = (isf_h[pi][:, None], isf2_h[pi][:, None])
+            cov[pi] = np.asarray(custom_cov(
+                data=(v1_h[pi][:, None], v2_h[pi][:, None], draws_h[pi]),
+                n_obs=float(n_h), q=float(q_h), size_factor=sf), np.float32)
+            var_1[pi] = np.asarray(custom_1d(
+                data=(v1_h[pi][:, None], draws_h[pi]), n_obs=float(n_h),
+                q=float(q_h), size_factor=sf)[1], np.float32)
+            var_2[pi] = np.asarray(custom_1d(
+                data=(v2_h[pi][:, None], draws_h[pi]), n_obs=float(n_h),
+                q=float(q_h), size_factor=sf)[1], np.float32)
+        return cov, var_1, var_2
+
+    shape = jax.ShapeDtypeStruct((p, b), jnp.float32)
+    return jax.pure_callback(host_eval, (shape, shape, shape), values_1,
+                             values_2, draws, inv_sf, inv_sf_sq, n_obs, q)
 
 
 def observed_moments_compressed(values, counts, inv_sf, inv_sf_sq, n_obs, q,
