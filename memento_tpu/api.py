@@ -508,6 +508,35 @@ def _ckpt_meta(uns, item_key, seed, num_boot, resampling, approx):
     }
 
 
+def _distributed_checkpoint(checkpoint_dir, distributed):
+    """Checkpoint layout for multi-controller runs.
+
+    With ``distributed=True`` under a live ``jax.distributed`` runtime each
+    process writes block files into its own ``proc{index}/`` subdirectory
+    (no cross-process file races; every process holds the full merged
+    result per block, so each copy is complete).  Resume is coordinated by
+    an intersection all-reduce over the per-process have-vectors: a block
+    any process is missing is recomputed by ALL of them, so every process
+    stays inside the same collective calls (the DCN merge in
+    ``run_ht_1d``/``run_ht_2d``).  Returns (dir, resume_filter).
+    """
+    if not distributed or jax.process_count() <= 1:
+        return checkpoint_dir, None
+    import os
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    ckpt_dir = os.path.join(checkpoint_dir, f"proc{pid}")
+
+    def resume_filter(have):
+        from .parallel.distributed import allreduce_hostsums
+
+        total = allreduce_hostsums(np.asarray(have, np.float64))[0]
+        return np.rint(total) >= nproc
+
+    return ckpt_dir, resume_filter
+
+
 def _per_gene_treatment(treatment, treatment_for_gene, gene_names, n_groups):
     """Build the padded per-gene treatment tensor and per-gene test counts.
 
@@ -619,20 +648,17 @@ def ht_1d_moments(
             distributed=distributed,
         )
 
-    if distributed and checkpoint_dir is not None:
-        raise ValueError(
-            "distributed=True with checkpoint_dir is not supported: every "
-            "process would race on the same block files; checkpoint from a "
-            "single-controller run or give each process its own directory "
-            "via run_ht_1d directly")
     if checkpoint_dir is not None:
         from .utils.blocks import run_blocks
 
+        ckpt_dir, resume_filter = _distributed_checkpoint(checkpoint_dir,
+                                                          distributed)
         res = run_blocks(g, checkpoint_block, run_gene_block,
-                         checkpoint_dir=checkpoint_dir, name="1d_ht",
+                         checkpoint_dir=ckpt_dir, name="1d_ht",
                          verbose=verbose > 0,
                          meta=_ckpt_meta(uns, ",".join(map(str, gene_names)),
-                                         seed, num_boot, resampling, approx))
+                                         seed, num_boot, resampling, approx),
+                         resume_filter=resume_filter)
     else:
         res = run_gene_block(0, g)
 
@@ -808,19 +834,18 @@ def ht_2d_moments(
                 distributed=distributed,
             )
 
-        if distributed and checkpoint_dir is not None:
-            raise ValueError(
-                "distributed=True with checkpoint_dir is not supported: "
-                "every process would race on the same block files")
         if checkpoint_dir is not None:
             from .utils.blocks import run_blocks
 
+            ckpt_dir, resume_filter = _distributed_checkpoint(
+                checkpoint_dir, distributed)
             pair_key = ",".join(f"{a}:{b}" for a, b, _ in uniq_pairs)
             res = run_blocks(len(uniq_pairs), checkpoint_block,
-                             run_pair_block, checkpoint_dir=checkpoint_dir,
+                             run_pair_block, checkpoint_dir=ckpt_dir,
                              name="2d_ht", verbose=verbose > 0,
                              meta=_ckpt_meta(uns, pair_key, seed, num_boot,
-                                             resampling, approx))
+                                             resampling, approx),
+                             resume_filter=resume_filter)
         else:
             res = run_pair_block(0, len(uniq_pairs))
 

@@ -43,6 +43,7 @@ def run_blocks(
     name: str = "ht",
     verbose: bool = False,
     meta: Optional[dict] = None,
+    resume_filter: Optional[Callable[[np.ndarray], np.ndarray]] = None,
 ) -> Dict[str, np.ndarray]:
     """Run ``run_block(start, stop)`` over blocks with resume support.
 
@@ -57,6 +58,13 @@ def run_blocks(
         hash, ...).  Saved inside every block; a resumed block whose saved
         fingerprint differs raises instead of silently concatenating stale
         results from a different run (blocks are keyed by index only).
+      resume_filter: optional hook for multi-controller runs — receives the
+        LOCAL bool vector of on-disk block files and returns the effective
+        resume vector.  Distributed callers all-reduce it to the
+        intersection across processes: a block any process is missing is
+        recomputed by ALL of them, keeping every process inside the same
+        collective calls.  Blocks marked resumable locally but vetoed by
+        the filter are recomputed (and re-written).
 
     Returns:
       dict of concatenated arrays over all items.
@@ -68,12 +76,23 @@ def run_blocks(
     full_meta["n_items"] = int(n_items)
     full_meta["block_size"] = int(block_size)
 
+    starts = list(range(0, n_items, block_size))
+    if checkpoint_dir is not None:
+        resumable = np.array([
+            os.path.exists(_block_path(checkpoint_dir, name, bi))
+            for bi in range(len(starts))
+        ])
+        if resume_filter is not None:
+            resumable = np.asarray(resume_filter(resumable), bool)
+    else:
+        resumable = np.zeros(len(starts), bool)
+
     pieces = []
-    for bi, start in enumerate(range(0, n_items, block_size)):
+    for bi, start in enumerate(starts):
         stop = min(start + block_size, n_items)
         block_meta = dict(full_meta, start=start, stop=stop)
         path = _block_path(checkpoint_dir, name, bi) if checkpoint_dir else None
-        if path is not None and os.path.exists(path):
+        if path is not None and resumable[bi]:
             with np.load(path) as z:
                 block = {k: z[k] for k in z.files}
             saved = block.pop("__meta__", None)

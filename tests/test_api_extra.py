@@ -187,11 +187,23 @@ def test_2d_multicolumn_treatment_warns(base):
                                single.corr_pval.values, equal_nan=True)
 
 
-def test_distributed_checkpoint_guard(base, tmp_path):
-    """distributed=True + checkpoint_dir would race on block files: raise."""
+def test_distributed_checkpoint_single_process(base, tmp_path):
+    """distributed=True + checkpoint_dir is supported (r5): under a
+    single-process runtime it takes the plain checkpoint path; the
+    2-process crash/resume proof is tests/test_distributed_checkpoint.py."""
     adata = base.copy()
     cov, tx = _prep(adata)
-    with pytest.raises(ValueError, match="checkpoint_dir"):
-        mt.ht_1d_moments(adata, covariate=cov, treatment=tx, num_boot=100,
-                         distributed=True, checkpoint_dir=str(tmp_path),
-                         resampling="bootstrap")
+    mt.ht_1d_moments(adata, covariate=cov, treatment=tx, num_boot=100,
+                     checkpoint_dir=str(tmp_path), checkpoint_block=8,
+                     resampling="bootstrap", seed=0, tile_size=8)
+    plain_ckpt = mt.get_1d_ht_result(adata).copy()
+    mt.ht_1d_moments(adata, covariate=cov, treatment=tx, num_boot=100,
+                     distributed=True, checkpoint_dir=str(tmp_path),
+                     checkpoint_block=8, resampling="bootstrap", seed=0,
+                     tile_size=8)
+    ckpt = mt.get_1d_ht_result(adata)
+    np.testing.assert_array_equal(ckpt.de_pval.values,
+                                  plain_ckpt.de_pval.values)
+    import os
+
+    assert any(f.endswith(".npz") for f in os.listdir(tmp_path))
