@@ -116,17 +116,14 @@ def main():
     for i in range(g):
         valid[i, : nt[i]] = True
     finite = float(np.isfinite(res["mean_pval"][valid]).mean())
-    first = profiling.timings().get("ht1d.dispatch", {}).get("first_s", 0.0)
-    stall = profiling.timings().get("ht1d.harvest", {}).get("max_s", 0.0)
-    steady = max(wall - first - stall, 1e-9)
+    steady = profiling.steady_state(wall, "ht1d", n_tests)
     print(json.dumps({
         "config": {"cells": n, "genes": g, "tests": n_tests,
                    "num_boot": EQTL_BOOT, "kt_max": EQTL_KT, "tile": TILE},
         "wall_s": round(wall, 2),
         "tests_per_s": round(n_tests / wall, 1),
-        "first_dispatch_s": round(first, 2),
-        "max_harvest_s": round(stall, 2),
-        "steady_tests_per_s": round(n_tests / steady, 1),
+        "oneoff_s": steady["oneoff_s"],
+        "steady_tests_per_s": steady["steady_items_per_s"],
         "finite_pval_frac": round(finite, 4),
     }))
 

@@ -117,12 +117,9 @@ def main():
     finite = float(np.isfinite(res.de_pval.values).mean())
     log(f"finite de_pvals: {finite:.4f}")
 
-    # steady state = throughput net of the first dispatch, which carries the
-    # one-off compile / persistent-cache-deserialize cost (dispatch total ~=
-    # dispatch max: all later tiles dispatch asynchronously in ~0 s)
-    first_dispatch = profiling.timings().get(
-        "ht1d.dispatch", {}).get("first_s", 0.0)
-    steady_s = max(phases["ht_1d"] - first_dispatch, 1e-9)
+    # stall-excluded steady state, computed (not narrated): see
+    # profiling.steady_state
+    steady = profiling.steady_state(phases["ht_1d"], "ht1d", g)
 
     print(json.dumps({
         "config": {"cells": N_CELLS, "genes_in": N_GENES, "genes_tested": g,
@@ -130,8 +127,11 @@ def main():
         "phases_s": {k: round(v, 2) for k, v in phases.items()},
         "ht_genes_per_s": round(g / phases["ht_1d"], 2),
         "ms_per_gene": round(phases["ht_1d"] / g * 1000, 3),
-        "ht_first_dispatch_s": round(first_dispatch, 2),
-        "ht_steady_genes_per_s": round(g / steady_s, 2),
+        "ht_oneoff_s": steady["oneoff_s"],
+        "ht_steady_genes_per_s": steady["steady_items_per_s"],
+        "steady_ms_per_gene": round(1000.0 /
+                                    max(steady["steady_items_per_s"], 1e-9),
+                                    3),
         "finite_pval_frac": finite,
     }))
 

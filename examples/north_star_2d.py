@@ -108,12 +108,9 @@ def main():
     log(f"finite corr_pvals: {finite:.4f}")
     profiling.report(file=sys.stderr)
 
-    # as in north_star.py: the first dispatch carries the one-off compile /
-    # cache-deserialize cost; steady state nets it out (first_s, not max_s —
-    # a mid-run tunnel stall must not be misattributed as warmup)
-    first_dispatch = profiling.timings().get(
-        "ht2d.dispatch", {}).get("first_s", 0.0)
-    steady_s = max(phases["ht_2d"] - first_dispatch, 1e-9)
+    # stall-excluded steady state, computed (not narrated): see
+    # profiling.steady_state
+    steady = profiling.steady_state(phases["ht_2d"], "ht2d", N_PAIRS)
 
     print(json.dumps({
         "config": {"cells": N_CELLS, "genes": N_GENES, "pairs": N_PAIRS,
@@ -121,8 +118,8 @@ def main():
         "phases_s": {k: round(v, 2) for k, v in phases.items()},
         "ht_pairs_per_s": round(N_PAIRS / phases["ht_2d"], 2),
         "ms_per_pair": round(phases["ht_2d"] / N_PAIRS * 1000, 3),
-        "ht_first_dispatch_s": round(first_dispatch, 2),
-        "ht_steady_pairs_per_s": round(N_PAIRS / steady_s, 2),
+        "ht_oneoff_s": steady["oneoff_s"],
+        "ht_steady_pairs_per_s": steady["steady_items_per_s"],
         "finite_pval_frac": finite,
     }))
 
