@@ -223,10 +223,11 @@ PALLAS_B_CHUNK = 2048
 
 
 @functools.partial(jax.jit, static_argnames=("num_boot", "interpret",
-                                             "reseed_per_bin"))
+                                             "reseed_per_bin", "table_bound"))
 def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
                                 interpret: bool = False,
-                                reseed_per_bin: bool = True):
+                                reseed_per_bin: bool = True,
+                                table_bound: tuple = (6.0, 6.0)):
     """Pallas analog of ``fused_bootstrap_sums`` (cascade sampler only).
 
     Genes of arbitrary U are supported: the cascade runs as a ``lax.scan``
@@ -308,11 +309,16 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
                         0.0).max(axis=1)
     gauss_arr = (colmax >= CASCADE_TAU).astype(jnp.int32)
     table_arr = (lam_tab > 0).astype(jnp.int32)
+    # adaptive trip count: lam + a*sqrt(lam) + c covers the Poisson right
+    # tail to P < ~1e-9 at the default (6, 6); table_bound exists for A/B
+    # (tighter bounds trade tail mass for fewer scan steps — measured r5)
+    ta_s, ta_c = table_bound
     niter_arr = jnp.where(
         table_arr > 0,
         jnp.minimum(
             jnp.float32(_K_TABLE),
-            jnp.ceil(lam_tab + 6.0 * jnp.sqrt(lam_tab) + 6.0),
+            jnp.ceil(lam_tab + jnp.float32(ta_s) * jnp.sqrt(lam_tab)
+                     + jnp.float32(ta_c)),
         ),
         0.0,
     ).astype(jnp.int32)
