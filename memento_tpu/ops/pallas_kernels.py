@@ -227,7 +227,7 @@ PALLAS_B_CHUNK = 2048
 def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
                                 interpret: bool = False,
                                 reseed_per_bin: bool = True,
-                                table_bound: tuple = (6.0, 6.0)):
+                                table_bound: tuple = (5.0, 4.0)):
     """Pallas analog of ``fused_bootstrap_sums`` (cascade sampler only).
 
     Genes of arbitrary U are supported: the cascade runs as a ``lax.scan``
@@ -309,9 +309,16 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
                         0.0).max(axis=1)
     gauss_arr = (colmax >= CASCADE_TAU).astype(jnp.int32)
     table_arr = (lam_tab > 0).astype(jnp.int32)
-    # adaptive trip count: lam + a*sqrt(lam) + c covers the Poisson right
-    # tail to P < ~1e-9 at the default (6, 6); table_bound exists for A/B
-    # (tighter bounds trade tail mass for fewer scan steps — measured r5)
+    # Adaptive trip count: lam + a*sqrt(lam) + c.  Default (5, 4) — round-5
+    # interleaved A/B on the north-star tile: 0.813 s vs 0.859 s for the
+    # old (6, 6) (+5.4%), with per-draw right-tail miss probability < ~1e-8
+    # across the lam <= tau range and graceful failure (a missed draw clips
+    # at the truncation point, so moments shift by < 1e-7 relative —
+    # measured mean diff 5e-7 max over 1024 rows at B=10k).  A branchless
+    # binary search over the CDF is architecturally blocked: the probe
+    # index differs per replicate LANE and Mosaic has no per-lane gather,
+    # so each probe costs a 32-term one-hot contraction (worse than the
+    # linear scan it replaces).
     ta_s, ta_c = table_bound
     niter_arr = jnp.where(
         table_arr > 0,
