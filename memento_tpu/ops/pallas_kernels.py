@@ -110,11 +110,13 @@ def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
     rem_out_ref[:, :] = rem_in_ref[:, :]
     sums_out_ref[:, :] = sums_in_ref[:, :]
 
-    row_pid = pl.program_id(0)
     for u0 in range(0, u_dim, 2):
         ua, ub = u0, u0 + 1
-        pred_a = pred_ref[row_pid, ua]
-        pred_b = pred_ref[row_pid, ub]
+        # pred_ref is blocked per row-program ([1, chunk] SMEM window): a
+        # whole-array SMEM spec overflowed the 1 MB SMEM at 16k-row tiles
+        # (2 MB for [2048, 256] s32 — caught by the r5 2D north star)
+        pred_a = pred_ref[0, ua]
+        pred_b = pred_ref[0, ub]
         lam_a = lam_ref[:, ua].reshape(8, 1)
         lam_b = lam_ref[:, ub].reshape(8, 1)
 
@@ -373,7 +375,8 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk bin offset
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # packed predicates
+            pl.BlockSpec((1, chunk), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM),  # packed predicates
             pl.BlockSpec((8, b_chunk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),  # remaining (carry in)
             pl.BlockSpec((8 * w_dim, b_chunk), lambda i, j: (i, j),
