@@ -110,13 +110,16 @@ def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
     rem_out_ref[:, :] = rem_in_ref[:, :]
     sums_out_ref[:, :] = sums_in_ref[:, :]
 
+    # pred_ref is blocked in 8-program groups ([8, chunk] SMEM window,
+    # Mosaic's minimum block granularity): a whole-array SMEM spec
+    # overflowed the 1 MB SMEM at 16k-row tiles (2 MB for [2048, 256] s32
+    # — caught by the r5 2D north star).  This program's row within the
+    # window is its grid index mod 8.
+    pred_row = pl.program_id(0) % 8
     for u0 in range(0, u_dim, 2):
         ua, ub = u0, u0 + 1
-        # pred_ref is blocked per row-program ([1, chunk] SMEM window): a
-        # whole-array SMEM spec overflowed the 1 MB SMEM at 16k-row tiles
-        # (2 MB for [2048, 256] s32 — caught by the r5 2D north star)
-        pred_a = pred_ref[0, ua]
-        pred_b = pred_ref[0, ub]
+        pred_a = pred_ref[pred_row, ua]
+        pred_b = pred_ref[pred_row, ub]
         lam_a = lam_ref[:, ua].reshape(8, 1)
         lam_b = lam_ref[:, ub].reshape(8, 1)
 
@@ -335,6 +338,11 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
     # A fired bin always has gauss or table set (colmax > 0 implies some
     # lam >= tau or some 0 < lam < tau), so pred > 0 <=> occupied.
     pred_arr = (niter_arr << 2) | (gauss_arr << 1) | table_arr
+    # rows padded to the [8, chunk] SMEM block granularity (see kernel)
+    tb = pred_arr.shape[0]
+    tb_pad = ((tb + 7) // 8) * 8
+    if tb_pad != tb:
+        pred_arr = jnp.pad(pred_arr, ((0, tb_pad - tb), (0, 0)))
 
     seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
 
@@ -375,7 +383,7 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk bin offset
-            pl.BlockSpec((1, chunk), lambda i, j: (i, 0),
+            pl.BlockSpec((8, chunk), lambda i, j: (i // 8, 0),
                          memory_space=pltpu.SMEM),  # packed predicates
             pl.BlockSpec((8, b_chunk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),  # remaining (carry in)
