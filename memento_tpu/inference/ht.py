@@ -1196,7 +1196,13 @@ def run_ht_2d(
     kt = treatment.shape[-1]
     one_sample = _one_sample_flags(treatment, per_pair_treatment)
     if tile_size is None:
-        tile_size = min(default_tile_size(r, num_boot), _round_up(p, 64))
+        # Pair tiles cap LOWER than gene tiles: the joint pair packer's
+        # host cost grows superlinearly with tile width (45 s at 8192
+        # pairs vs ~0.6 s at 512, measured r5 — big padded [P, U] scatter
+        # targets + one outlier pair inflating the whole tile's padded U),
+        # and the efficient device regime is 512-2048 pairs.
+        tile_size = min(default_tile_size(r, num_boot), 2048,
+                        _round_up(p, 64))
     if mesh is not None:
         n_model = mesh.shape.get("model", 1)
         tile_size = _round_up(tile_size, n_model)
