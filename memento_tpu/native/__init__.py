@@ -394,27 +394,46 @@ def _compress_pairs_native(X, approx_sf, idx1, idx2, pad_multiple=8, min_u=8):
 
     X = X.tocsc() if sparse.issparse(X) else sparse.csc_matrix(X)
     n_cells, n_genes = X.shape
-    bin_values, bin_ids = factorize_approx_sf(approx_sf)
-    nbins = len(bin_values)
 
-    # The tiled 2D orchestrator calls this once per pair tile with the SAME
-    # full group matrix — at atlas scale the int64 conversions below are
-    # gigabytes, so cache them on the matrix object across calls.
-    prep = getattr(X, "_memento_pairs_prep", None)
-    if prep is None:
+    # Zero-copy v2 path: the kernel reads scipy's native int32/int64 index
+    # and f32/f64 data buffers as stored — no per-matrix int64 conversion
+    # (which cost ~30-60 s and gigabytes at 20k-gene atlas scale).  Only
+    # integral count data qualifies (checked once per matrix, cached by
+    # _compress_range_prep); otherwise fall back to the rounding path.
+    use_v2 = (hasattr(lib, "compress_pairs_compact_v2")
+              and X.indices.dtype in (np.int32, np.int64)
+              and X.data.dtype in (np.float32, np.float64))
+    prep_v2 = _compress_range_prep(X, approx_sf) if use_v2 else None
+    if prep_v2 is not None:
         if not bool(X.has_sorted_indices):
             X.sort_indices()
-        indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
-        indices = np.ascontiguousarray(X.indices, dtype=np.int64)
-        data = np.ascontiguousarray(np.round(X.data), dtype=np.int64)
-        try:
-            X._memento_pairs_prep = (indptr, indices, data)
-        except AttributeError:  # exotic matrix subclasses without __dict__
-            pass
+        indptr, bins, binvals, _ = prep_v2
+        indices = X.indices if X.indices.flags.c_contiguous else \
+            np.ascontiguousarray(X.indices)
+        data = X.data if X.data.flags.c_contiguous else \
+            np.ascontiguousarray(X.data)
+        nbins = len(binvals)
     else:
-        indptr, indices, data = prep
-    bins = np.ascontiguousarray(bin_ids, dtype=np.int32)
-    binvals = np.ascontiguousarray(bin_values, dtype=np.float64)
+        bin_values, bin_ids = factorize_approx_sf(approx_sf)
+        nbins = len(bin_values)
+
+        # legacy path: int64 conversions cached on the matrix across the
+        # per-tile calls of the 2D orchestrator
+        prep = getattr(X, "_memento_pairs_prep", None)
+        if prep is None:
+            if not bool(X.has_sorted_indices):
+                X.sort_indices()
+            indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
+            indices = np.ascontiguousarray(X.indices, dtype=np.int64)
+            data = np.ascontiguousarray(np.round(X.data), dtype=np.int64)
+            try:
+                X._memento_pairs_prep = (indptr, indices, data)
+            except AttributeError:  # matrix subclasses without __dict__
+                pass
+        else:
+            indptr, indices, data = prep
+        bins = np.ascontiguousarray(bin_ids, dtype=np.int32)
+        binvals = np.ascontiguousarray(bin_values, dtype=np.float64)
     i1 = np.ascontiguousarray(np.asarray(idx1, dtype=np.int64))
     i2 = np.ascontiguousarray(np.asarray(idx2, dtype=np.int64))
     n_pairs = len(i1)
@@ -433,7 +452,31 @@ def _compress_pairs_native(X, approx_sf, idx1, idx2, pad_multiple=8, min_u=8):
     with_bins = nbins + 1 <= 255
     cbin = np.empty(total_cap, dtype=np.uint8) if with_bins else None
     n_unique = np.zeros(n_pairs, dtype=np.int32)
-    if n_pairs:
+    if n_pairs and prep_v2 is not None:
+        lib.compress_pairs_compact_v2(
+            ctypes.c_int64(n_cells),
+            ctypes.c_int64(n_genes),
+            ctypes.c_int64(n_pairs),
+            ctypes.c_int32(nbins),
+            indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            indices.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int32(1 if indices.dtype == np.int64 else 0),
+            data.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int32(1 if data.dtype == np.float32 else 0),
+            bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            binvals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            i1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            i2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cv1.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cv2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ccnt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cisf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cbin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) if with_bins
+            else ctypes.POINTER(ctypes.c_uint8)(),
+            n_unique.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    elif n_pairs:
         lib.compress_pairs_compact(
             ctypes.c_int64(n_cells),
             ctypes.c_int64(n_genes),

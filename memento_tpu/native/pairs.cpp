@@ -15,9 +15,14 @@
 // O(union + U log U) with U = #unique combos (typically a few hundred),
 // instead of the previous sort of the whole ~|union| code list.  A single
 // pass emits compact per-pair runs at caller-provided offsets; the caller
-// scatters them into padded tiles (a ~U-sized gather, negligible).  This
-// replaced a two-call count/pack API that re-did the merge AND the sort
-// twice per pair.
+// scatters them into padded tiles (a ~U-sized gather, negligible).
+//
+// Round 5: the kernel is templated over scipy's NATIVE index/data dtypes
+// (int32/int64 indices, float32/float64 data) via compress_pairs_compact_v2
+// — the old flow converted the ENTIRE matrix to int64 indices + rounded
+// int64 data once per matrix (~30-60 s and gigabytes at 20k-gene atlas
+// scale); the v2 path reads the buffers as stored, so there is no per-matrix
+// prep at all.
 //
 // Layout contract (mirrors CompressedPairGroup):
 //   slots [0, n_z)           : zero-zero combos, one per populated sf bin
@@ -27,6 +32,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <type_traits>
 #include <vector>
 
 #ifdef _OPENMP
@@ -58,35 +64,46 @@ struct CodeHist {
   }
 };
 
+template <typename DataT>
+inline int64_t as_count(DataT x) {
+  if constexpr (std::is_integral_v<DataT>) {
+    return static_cast<int64_t>(x);
+  } else {
+    // non-negative integral count data: floor(x + 0.5) == round
+    return static_cast<int64_t>(x + DataT(0.5));
+  }
+}
+
 // Merge the two sorted CSC columns of pair (a, b), calling visit(v1, v2, row)
 // for every union row.
-template <typename Visit>
-void merge_columns(const int64_t* indptr, const int64_t* indices,
-                   const int64_t* data, int64_t a, int64_t b, Visit&& visit) {
+template <typename IdxT, typename DataT, typename Visit>
+void merge_columns(const int64_t* indptr, const IdxT* indices,
+                   const DataT* data, int64_t a, int64_t b, Visit&& visit) {
   int64_t ka = indptr[a], ea = indptr[a + 1];
   int64_t kb = indptr[b], eb = indptr[b + 1];
   if (a == b) {
-    for (; ka < ea; ++ka)
-      visit(static_cast<int32_t>(data[ka]), static_cast<int32_t>(data[ka]),
-            indices[ka]);
+    for (; ka < ea; ++ka) {
+      const int32_t v = static_cast<int32_t>(as_count(data[ka]));
+      visit(v, v, static_cast<int64_t>(indices[ka]));
+    }
     return;
   }
   while (ka < ea || kb < eb) {
-    int64_t ra = ka < ea ? indices[ka] : INT64_MAX;
-    int64_t rb = kb < eb ? indices[kb] : INT64_MAX;
+    int64_t ra = ka < ea ? static_cast<int64_t>(indices[ka]) : INT64_MAX;
+    int64_t rb = kb < eb ? static_cast<int64_t>(indices[kb]) : INT64_MAX;
     int32_t v1 = 0, v2 = 0;
     int64_t row;
     if (ra < rb) {
-      v1 = static_cast<int32_t>(data[ka]);
+      v1 = static_cast<int32_t>(as_count(data[ka]));
       row = ra;
       ++ka;
     } else if (rb < ra) {
-      v2 = static_cast<int32_t>(data[kb]);
+      v2 = static_cast<int32_t>(as_count(data[kb]));
       row = rb;
       ++kb;
     } else {
-      v1 = static_cast<int32_t>(data[ka]);
-      v2 = static_cast<int32_t>(data[kb]);
+      v1 = static_cast<int32_t>(as_count(data[ka]));
+      v2 = static_cast<int32_t>(as_count(data[kb]));
       row = ra;
       ++ka;
       ++kb;
@@ -95,28 +112,15 @@ void merge_columns(const int64_t* indptr, const int64_t* indices,
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Single pass: compress every pair into compact per-pair runs.
-//
-//   cap_off:   [n_pairs + 1] caller-computed output offsets; the span for
-//              pair p must hold >= nbins + nnz(idx1[p]) + nnz(idx2[p]) slots
-//              (a bound on zero-bins + unique nonzero combos).
-//   values_1/values_2/counts/inv_sf: compact f32 outputs, written at
-//              [cap_off[p], cap_off[p] + n_unique[p]).
-//   sf_bin:    optional (may be null) uint8 compact-transport bin ids,
-//              0 = padding, 1+b = sf bin b.
-//   n_unique:  [n_pairs] number of slots written per pair.
-void compress_pairs_compact(int64_t n_cells, int64_t n_genes, int64_t n_pairs,
-                            int32_t nbins, const int64_t* indptr,
-                            const int64_t* indices, const int64_t* data,
-                            const int32_t* bins, const double* bin_values,
-                            const int64_t* idx1, const int64_t* idx2,
-                            const int64_t* cap_off, float* values_1,
-                            float* values_2, float* counts, float* inv_sf,
-                            uint8_t* sf_bin, int32_t* n_unique) {
+template <typename IdxT, typename DataT>
+void compress_pairs_impl(int64_t n_cells, int64_t n_genes, int64_t n_pairs,
+                         int32_t nbins, const int64_t* indptr,
+                         const IdxT* indices, const DataT* data,
+                         const int32_t* bins, const double* bin_values,
+                         const int64_t* idx1, const int64_t* idx2,
+                         const int64_t* cap_off, float* values_1,
+                         float* values_2, float* counts, float* inv_sf,
+                         uint8_t* sf_bin, int32_t* n_unique) {
   std::vector<int64_t> bin_total(nbins, 0);
   for (int64_t c = 0; c < n_cells; ++c) bin_total[bins[c]]++;
 
@@ -131,8 +135,10 @@ void compress_pairs_compact(int64_t n_cells, int64_t n_genes, int64_t n_pairs,
   for (int64_t g = 0; g < n_genes; ++g) {
     if (col_vmax[g] < 0) continue;
     int64_t vmax = 0;
-    for (int64_t k = indptr[g]; k < indptr[g + 1]; ++k)
-      if (data[k] > vmax) vmax = data[k];
+    for (int64_t k = indptr[g]; k < indptr[g + 1]; ++k) {
+      const int64_t v = as_count(data[k]);
+      if (v > vmax) vmax = v;
+    }
     col_vmax[g] = vmax;
   }
 
@@ -217,6 +223,62 @@ void compress_pairs_compact(int64_t n_cells, int64_t n_genes, int64_t n_pairs,
       }
       n_unique[p] = static_cast<int32_t>(slot);
     }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Back-compat entry: int64 indices + pre-rounded int64 data.
+void compress_pairs_compact(int64_t n_cells, int64_t n_genes, int64_t n_pairs,
+                            int32_t nbins, const int64_t* indptr,
+                            const int64_t* indices, const int64_t* data,
+                            const int32_t* bins, const double* bin_values,
+                            const int64_t* idx1, const int64_t* idx2,
+                            const int64_t* cap_off, float* values_1,
+                            float* values_2, float* counts, float* inv_sf,
+                            uint8_t* sf_bin, int32_t* n_unique) {
+  compress_pairs_impl(n_cells, n_genes, n_pairs, nbins, indptr, indices, data,
+                      bins, bin_values, idx1, idx2, cap_off, values_1,
+                      values_2, counts, inv_sf, sf_bin, n_unique);
+}
+
+// Zero-copy entry over scipy's native buffers.  idx64: 1 = int64 indices,
+// 0 = int32.  data_f32: 1 = float32 data, 0 = float64.
+void compress_pairs_compact_v2(
+    int64_t n_cells, int64_t n_genes, int64_t n_pairs, int32_t nbins,
+    const int64_t* indptr, const void* indices, int32_t idx64,
+    const void* data, int32_t data_f32, const int32_t* bins,
+    const double* bin_values, const int64_t* idx1, const int64_t* idx2,
+    const int64_t* cap_off, float* values_1, float* values_2, float* counts,
+    float* inv_sf, uint8_t* sf_bin, int32_t* n_unique) {
+  if (idx64) {
+    if (data_f32)
+      compress_pairs_impl(n_cells, n_genes, n_pairs, nbins, indptr,
+                          static_cast<const int64_t*>(indices),
+                          static_cast<const float*>(data), bins, bin_values,
+                          idx1, idx2, cap_off, values_1, values_2, counts,
+                          inv_sf, sf_bin, n_unique);
+    else
+      compress_pairs_impl(n_cells, n_genes, n_pairs, nbins, indptr,
+                          static_cast<const int64_t*>(indices),
+                          static_cast<const double*>(data), bins, bin_values,
+                          idx1, idx2, cap_off, values_1, values_2, counts,
+                          inv_sf, sf_bin, n_unique);
+  } else {
+    if (data_f32)
+      compress_pairs_impl(n_cells, n_genes, n_pairs, nbins, indptr,
+                          static_cast<const int32_t*>(indices),
+                          static_cast<const float*>(data), bins, bin_values,
+                          idx1, idx2, cap_off, values_1, values_2, counts,
+                          inv_sf, sf_bin, n_unique);
+    else
+      compress_pairs_impl(n_cells, n_genes, n_pairs, nbins, indptr,
+                          static_cast<const int32_t*>(indices),
+                          static_cast<const double*>(data), bins, bin_values,
+                          idx1, idx2, cap_off, values_1, values_2, counts,
+                          inv_sf, sf_bin, n_unique);
   }
 }
 
