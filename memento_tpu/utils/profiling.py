@@ -88,7 +88,10 @@ def steady_state(total_s: float, prefix: str, n_items: int) -> Dict[str, float]:
         return tm.get(name, {}).get(key, 0.0)
 
     n_tiles = max(int(tm.get(prefix + ".dispatch", {}).get("count", 1)), 1)
-    oneoff = (get(prefix + ".warmjoin", "first_s")
+    # the first tile's host pack is serial (nothing to overlap yet) but runs
+    # CONCURRENTLY with the warm-join thread — count whichever dominated
+    oneoff = (max(get(prefix + ".warmjoin", "first_s"),
+                  get(prefix + ".compress+pack", "first_s"))
               + get(prefix + ".dispatch", "first_s")
               + get(prefix + ".harvest", "max_s"))
     steady_s = max(total_s - oneoff, 1e-9)
