@@ -228,11 +228,13 @@ PALLAS_B_CHUNK = 2048
 
 
 @functools.partial(jax.jit, static_argnames=("num_boot", "interpret",
-                                             "reseed_per_bin", "table_bound"))
+                                             "reseed_per_bin", "table_bound",
+                                             "chunk_bins"))
 def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
                                 interpret: bool = False,
                                 reseed_per_bin: bool = True,
-                                table_bound: tuple = (5.0, 4.0)):
+                                table_bound: tuple = (5.0, 4.0),
+                                chunk_bins: int = 0):
     """Pallas analog of ``fused_bootstrap_sums`` (cascade sampler only).
 
     Genes of arbitrary U are supported: the cascade runs as a ``lax.scan``
@@ -289,8 +291,9 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
 
     # the bin loop is PAIR-FUSED (independent table/Box-Muller chains of
     # consecutive bins overlap; measured 13% on the north-star tile), so
-    # the chunk width must be even
-    chunk = min(PALLAS_CHUNK, u_dim + (u_dim % 2))
+    # the chunk width must be even.  chunk_bins overrides the unroll length
+    # for A/Bs (0 = the default PALLAS_CHUNK).
+    chunk = min(chunk_bins or PALLAS_CHUNK, u_dim + (u_dim % 2))
     u_pad = ((u_dim + chunk - 1) // chunk) * chunk
     if u_pad != u_dim:  # zero-count bins are inert (ratio 0 -> draws 0)
         counts = jnp.pad(counts, ((0, 0), (0, u_pad - u_dim)))
