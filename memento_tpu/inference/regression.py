@@ -56,13 +56,18 @@ def wls_residualize(covariate, y, weights):
     return y - C @ beta
 
 
-def cross_coef(A, B, weights):
+def cross_coef(A, B, weights, scale=None):
     """Weighted cross regression coefficient (ref ``hypothesis_test.py:
     218-228``): slope of each column of B on each column of A under weighted
     simple regression.
 
     Args:
       A: ``[R, Kt]`` treatments; B: ``[R, M]`` statistics; weights ``[R]``.
+      scale: optional ``[Kt]`` reference magnitude for the degeneracy
+        check — the RAW (pre-residualization) treatment's weighted second
+        moment.  Without it the check compares against A's own second
+        moment, which misses the one-arm case when A is already the tiny
+        ridge residual (r5 review finding).
 
     Returns:
       ``[Kt, M]``.
@@ -81,19 +86,23 @@ def cross_coef(A, B, weights):
     A_c = A - (weights[:, None] * A).sum(0) / wsum
     B_c = B - (weights[:, None] * B).sum(0) / wsum
     ssA = (weights[:, None] * A_c * A_c).sum(0) / wsum  # [Kt]
-    scaleA = (weights[:, None] * A * A).sum(0) / wsum  # [Kt]
-    dead = ssA <= DEGENERATE_RTOL * scaleA
+    if scale is None:
+        scale = (weights[:, None] * A * A).sum(0) / wsum  # [Kt]
+    dead = ssA <= DEGENERATE_RTOL * scale
     num = (A_c * weights[:, None]).T @ B_c / wsum  # [Kt, M]
     return jnp.where(dead[:, None], jnp.nan, num / (ssA[:, None] + _EPS))
 
 
-def cross_coef_resampled(A, B, weights):
+def cross_coef_resampled(A, B, weights, scale=None):
     """Hierarchical-bootstrap cross coefficient (ref ``hypothesis_test.py:
     231-239``): per-column resampled replicate sets.
 
     Args:
       A: ``[R, M, Kt]`` resampled treatments; B: ``[R, M]`` resampled stats;
       weights: ``[R, M]`` resampled group weights.
+      scale: optional ``[Kt]`` raw-treatment second moment for the
+        degeneracy check (see ``cross_coef``), broadcast over the
+        resampled columns.
 
     Returns:
       ``[Kt, M]``.
@@ -108,8 +117,11 @@ def cross_coef_resampled(A, B, weights):
     B_c = B - (weights * B).sum(0) / wsum
     A_c = A - (A * weights[..., None]).sum(0) / wsum[:, None]
     ssA = (A_c**2 * weights[..., None]).sum(0) / wsum[:, None]  # [M, Kt]
-    scaleA = (A**2 * weights[..., None]).sum(0) / wsum[:, None]  # [M, Kt]
-    dead = ssA <= DEGENERATE_RTOL * scaleA
+    if scale is None:
+        scale = (A**2 * weights[..., None]).sum(0) / wsum[:, None]  # [M, Kt]
+    else:
+        scale = scale[None, :]
+    dead = ssA <= DEGENERATE_RTOL * scale
     num = jnp.einsum("rmk,rm->mk", A_c * weights[..., None], B_c)  # [M, Kt]
     return jnp.where(dead, jnp.nan, num / wsum[:, None] / (ssA + _EPS)).T
 
@@ -172,7 +184,11 @@ def meta_regress(covariate, treatment, stats, weights, one_sample: bool,
         reference emits a single row there).
 
     Returns:
-      coef ``[Kt, B+1]`` (``[Kt, B]`` under resample_rep, column 0 observed).
+      coef ``[Kt, B+1]``, column 0 observed.  Under resample_rep the last
+      column of regression genes is NaN padding (the reference's resampled
+      coefficient matrix has B columns while its one-sample average keeps
+      all B+1; padding unifies the shapes and the NaN is dropped by the
+      downstream finite filters).
     """
     if one_sample and one_sample_g is None:
         wsum = weights.sum() + _EPS
@@ -181,6 +197,12 @@ def meta_regress(covariate, treatment, stats, weights, one_sample: bool,
 
     stats_t = wls_residualize(covariate, stats, weights)
     treat_t = wls_residualize(covariate, treatment, weights)
+    # degeneracy reference magnitude: the RAW treatment's weighted second
+    # moment — comparing ssA against the residualized treatment's own
+    # moment would miss the one-arm-survivor case whenever the ridge
+    # residual varies (r5 review finding; see cross_coef)
+    wsum_w = weights.sum() + _EPS
+    raw_scale = (weights[:, None] * treatment * treatment).sum(0) / wsum_w
 
     if resample_rep:
         num_rep = stats.shape[0]
@@ -190,14 +212,19 @@ def meta_regress(covariate, treatment, stats, weights, one_sample: bool,
         stats_rs = stats_t[rep, it]  # [R, B]
         treat_rs = treat_t[rep]  # [R, B, Kt]
         w_rs = weights[rep]  # [R, B]
-        coef = cross_coef_resampled(treat_rs, stats_rs, w_rs)
+        coef = cross_coef_resampled(treat_rs, stats_rs, w_rs,
+                                    scale=raw_scale)
+        # pad to B+1 so one-sample genes keep their full B+1-column average
+        coef = jnp.concatenate(
+            [coef, jnp.full(coef.shape[:-1] + (1,), jnp.nan, coef.dtype)],
+            axis=-1)
     else:
-        coef = cross_coef(treat_t, stats_t, weights)
+        coef = cross_coef(treat_t, stats_t, weights, scale=raw_scale)
 
     if one_sample_g is not None:
         wsum = weights.sum() + _EPS
         avg = (weights[:, None] * stats).sum(0) / wsum  # [B+1]
-        avg = jnp.broadcast_to(avg[: coef.shape[-1]][None, :], coef.shape)
+        avg = jnp.broadcast_to(avg[None, :], coef.shape)
         coef = jnp.where(one_sample_g, avg, coef)
     return coef
 

@@ -239,32 +239,39 @@ def _compress_range_prep(X, approx_sf):
     """Per-(matrix, size-factor) prep for the range packer, cached on the
     matrix object: the int64 indptr, int32 bin ids, global bin occupancy and
     bin values.  All O(G) or O(N) ONCE — repeated tile calls reuse it, so
-    per-tile packing touches only the tile's nonzeros."""
+    per-tile packing touches only the tile's nonzeros.
+
+    The cache entry HOLDS a reference to the approx_sf array and validates
+    with ``is`` — an id()-based key could silently match a NEW size-factor
+    array allocated at a freed array's address (r5 review finding)."""
     from ..ops.size_factor import factorize_approx_sf
 
-    key = (id(approx_sf), X.nnz)
     prep = getattr(X, "_memento_range_prep", None)
-    if prep is not None and prep[0] == key:
-        return prep[1]
+    if prep is not None and prep[0] is approx_sf and prep[1] == X.nnz:
+        return prep[2]
     bin_values, bin_ids = factorize_approx_sf(approx_sf)
     indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
     bins = np.ascontiguousarray(bin_ids, dtype=np.int32)
     binvals = np.ascontiguousarray(bin_values, dtype=np.float64)
     bin_total = np.bincount(bins, minlength=len(bin_values)).astype(np.int64)
-    # the kernel truncates data via floor(x + 0.5): exact for the integral
-    # count data this path serves; non-integral data falls back to the
-    # np.round-ing slice path (checked once per matrix, cached).  Chunked so
-    # the check never materializes an nnz-sized temporary at atlas scale.
+    # The kernel truncates data via floor(x + 0.5): exact ONLY for
+    # NON-NEGATIVE integral count data — negative values would produce
+    # negative histogram codes (out-of-bounds writes in the C++ kernel),
+    # and fractional values would round differently from the np.round
+    # fallback.  Both fall back to the slicing path.  Chunked so the check
+    # never materializes an nnz-sized temporary at atlas scale.
     ok = True
     d = X.data
     step = 1 << 24
     for s in range(0, d.size, step):
-        if not bool(np.all(np.mod(d[s:s + step], 1) == 0)):
+        c = d[s:s + step]
+        if c.size and (float(c.min()) < 0
+                       or not bool(np.all(np.mod(c, 1) == 0))):
             ok = False
             break
     out = (indptr, bins, binvals, bin_total) if ok else None
     try:
-        X._memento_range_prep = (key, out)
+        X._memento_range_prep = (approx_sf, X.nnz, out)
     except AttributeError:  # exotic matrix subclasses without __dict__
         pass
     return out

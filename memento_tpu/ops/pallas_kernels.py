@@ -293,6 +293,9 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
     # consecutive bins overlap; measured 13% on the north-star tile), so
     # the chunk width must be even.  chunk_bins overrides the unroll length
     # for A/Bs (0 = the default PALLAS_CHUNK).
+    if chunk_bins and chunk_bins % 2:
+        raise ValueError(
+            f"chunk_bins must be even (pair-fused bin loop); got {chunk_bins}")
     chunk = min(chunk_bins or PALLAS_CHUNK, u_dim + (u_dim % 2))
     u_pad = ((u_dim + chunk - 1) // chunk) * chunk
     if u_pad != u_dim:  # zero-count bins are inert (ratio 0 -> draws 0)

@@ -88,6 +88,14 @@ def steady_state(total_s: float, prefix: str, n_items: int) -> Dict[str, float]:
         return tm.get(name, {}).get(key, 0.0)
 
     n_tiles = max(int(tm.get(prefix + ".dispatch", {}).get("count", 1)), 1)
+    if n_tiles < 2:
+        # single-tile run: the one-off and the work are inseparable — report
+        # the plain throughput instead of a near-zero "steady" denominator
+        return {
+            "oneoff_s": 0.0,
+            "steady_s": round(total_s, 2),
+            "steady_items_per_s": round(n_items / max(total_s, 1e-9), 2),
+        }
     # the first tile's host pack is serial (nothing to overlap yet) but runs
     # CONCURRENTLY with the warm-join thread — count whichever dominated
     oneoff = (max(get(prefix + ".warmjoin", "first_s"),
@@ -95,7 +103,7 @@ def steady_state(total_s: float, prefix: str, n_items: int) -> Dict[str, float]:
               + get(prefix + ".dispatch", "first_s")
               + get(prefix + ".harvest", "max_s"))
     steady_s = max(total_s - oneoff, 1e-9)
-    steady_items = n_items * max(n_tiles - 1, 1) / max(n_tiles, 1)
+    steady_items = n_items * (n_tiles - 1) / n_tiles
     return {
         "oneoff_s": round(oneoff, 2),
         "steady_s": round(steady_s, 2),

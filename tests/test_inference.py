@@ -183,3 +183,59 @@ def test_fill_invalid_matches_searchsorted_semantics(rng):
     got, _ = fill_invalid(key, vals, valid)
     np.testing.assert_array_equal(
         np.asarray(got), np.asarray(searchsorted_fill(key, vals, valid)))
+
+
+def test_degenerate_contrast_nan_with_real_covariate(rng):
+    """One-arm-survivor genes must yield NaN coefficients even when the
+    covariate has a non-intercept column (the ridge residual then VARIES,
+    so the degeneracy check must compare against the RAW treatment scale —
+    r5 review finding)."""
+    import jax.numpy as jnp
+
+    from memento_tpu.inference.regression import meta_regress
+
+    R, B = 4, 200
+    covariate = np.column_stack([np.ones(R), [0.2, 0.7, 1.3, 0.4]])
+    treatment = np.ones((R, 1))  # all surviving rows in one arm
+    stats = rng.normal(0, 1, (R, B + 1))
+    weights = np.array([100.0, 120.0, 90.0, 110.0])
+    coef = np.asarray(meta_regress(
+        jnp.asarray(covariate, jnp.float32), jnp.asarray(treatment, jnp.float32),
+        jnp.asarray(stats, jnp.float32), jnp.asarray(weights, jnp.float32),
+        one_sample=False))
+    assert np.isnan(coef).all(), coef[:, :4]
+
+
+def test_resample_rep_one_sample_keeps_full_boot_columns(rng):
+    """Dynamic one-sample genes under resample_rep must keep the full
+    B+1-column weighted average (reference hypothesis_test.py:262-265
+    checks one-sample BEFORE the resampling branch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from memento_tpu.inference.regression import meta_regress
+
+    R, B = 4, 64
+    covariate = np.ones((R, 1), np.float32)
+    treatment = np.ones((R, 1), np.float32)
+    stats = rng.normal(0, 1, (R, B + 1)).astype(np.float32)
+    weights = np.array([10.0, 20.0, 30.0, 40.0], np.float32)
+    coef = np.asarray(meta_regress(
+        jnp.asarray(covariate), jnp.asarray(treatment), jnp.asarray(stats),
+        jnp.asarray(weights), one_sample=False, resample_rep=True,
+        key=jax.random.key(0), one_sample_g=jnp.asarray(True)))
+    assert coef.shape[-1] == B + 1
+    avg = (weights[:, None] * stats).sum(0) / weights.sum()
+    np.testing.assert_allclose(coef[0], avg, rtol=1e-5)
+    # regression genes (one_sample_g False) get the NaN pad in the LAST col
+    coef2 = np.asarray(meta_regress(
+        jnp.asarray(covariate),
+        jnp.asarray(np.array([[0.], [0.], [1.], [1.]], np.float32)),
+        jnp.asarray(stats), jnp.asarray(weights), one_sample=False,
+        resample_rep=True, key=jax.random.key(0),
+        one_sample_g=jnp.asarray(False)))
+    assert coef2.shape[-1] == B + 1
+    # last column is the pad; most non-pad columns are finite (one-arm
+    # resampled draws are legitimately NaN per reference semantics)
+    assert np.isnan(coef2[0, -1])
+    assert np.isfinite(coef2[0, :-1]).mean() > 0.5

@@ -235,3 +235,40 @@ def test_range_packer_fractional_falls_back(rng):
     got = compress_group(X, approx_sf, cols=(1, 4))
     ref = _compress_group_numpy(X[:, 1:4], approx_sf, 8, 8)
     np.testing.assert_array_equal(got.n_unique, ref.n_unique)
+
+
+@pytest.mark.skipif(not _ensure_built(), reason="native build unavailable")
+def test_range_prep_cache_invalidates_on_new_sf(rng):
+    """The per-matrix prep cache must key on the size-factor ARRAY, not its
+    id() (a freed array's address can be reused) — new factors recompute."""
+    if native.compress_group_range_native is None:
+        pytest.skip("range packer symbol unavailable")
+    n, g = 400, 6
+    X = sparse.csc_matrix(rng.poisson(1.0, (n, g)).astype(np.float64))
+    sf = rng.random(n) + 0.5
+    asf1 = bin_size_factor(sf, 8)
+    got1 = native.compress_group_range_native(X, asf1, 0, g)
+    asf2 = bin_size_factor(sf * rng.random(n), 24)  # different binning
+    got2 = native.compress_group_range_native(X, asf2, 0, g)
+    ref2 = _compress_group_numpy(X, asf2, 8, 8)
+    np.testing.assert_array_equal(got2.n_unique, ref2.n_unique)
+    assert got2.bin_inv_sf.shape != got1.bin_inv_sf.shape or not np.allclose(
+        got2.bin_inv_sf, got1.bin_inv_sf)
+
+
+@pytest.mark.skipif(not _ensure_built(), reason="native build unavailable")
+def test_range_packer_rejects_negative_data(rng):
+    """Negative integral data would index the C++ histogram with negative
+    codes (heap corruption) — the gate must refuse, numpy fallback engages."""
+    if native.compress_group_range_native is None:
+        pytest.skip("range packer symbol unavailable")
+    n, g = 300, 4
+    X = rng.poisson(1.0, (n, g)).astype(np.float64)
+    X[0, 0] = -3.0  # integral but negative
+    Xs = sparse.csc_matrix(X)
+    sf = rng.random(n) + 0.5
+    asf = bin_size_factor(sf, 8)
+    assert native.compress_group_range_native(Xs, asf, 0, g) is None
+    from memento_tpu.ops.compress import compress_group
+    got = compress_group(Xs, asf, cols=(0, g))  # falls back safely
+    assert got.n_obs == n
