@@ -54,7 +54,7 @@ def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
                           sums_in_ref, ratio_ref, lam_ref, ctail_ref, w_ref,
                           rem_out_ref, sums_out_ref, draws_ref, draws_b_ref, *, u_dim,
                           w_dim, b_pad, tau, n_bc, u_total,
-                          reseed_per_bin: bool = True):
+                          reseed_per_bin: bool = True, blk: int = 8):
     """One (8-gene, b_pad-replicate) block over one U-chunk of the cascade.
 
     The carries (``remaining`` trials and the weighted sums) arrive as
@@ -120,8 +120,8 @@ def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
         ua, ub = u0, u0 + 1
         pred_a = pred_ref[pred_row, ua]
         pred_b = pred_ref[pred_row, ub]
-        lam_a = lam_ref[:, ua].reshape(8, 1)
-        lam_b = lam_ref[:, ub].reshape(8, 1)
+        lam_a = lam_ref[:, ua].reshape(blk, 1)
+        lam_b = lam_ref[:, ub].reshape(blk, 1)
 
         if reseed_per_bin:  # one stream per PAIR (only even offsets used)
             pltpu.prng_seed(base_seed + off + jnp.int32(u0))
@@ -129,7 +129,7 @@ def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
         # ---- phase 1: raw samples, independent of `remaining` ----
         @pl.when((pred_a & 2) > 0)
         def _gauss_a(lam=lam_a):
-            bits = pltpu.prng_random_bits((8, 2 * b_pad))
+            bits = pltpu.prng_random_bits((blk, 2 * b_pad))
             u1 = _uniform_from_bits(bits[:, :b_pad])
             u2 = _uniform_from_bits(bits[:, b_pad:])
             z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
@@ -137,7 +137,7 @@ def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
 
         @pl.when((pred_b & 2) > 0)
         def _gauss_b(lam=lam_b):
-            bits = pltpu.prng_random_bits((8, 2 * b_pad))
+            bits = pltpu.prng_random_bits((blk, 2 * b_pad))
             u1 = _uniform_from_bits(bits[:, :b_pad])
             u2 = _uniform_from_bits(bits[:, b_pad:])
             z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
@@ -146,7 +146,7 @@ def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
         @pl.when(((pred_a | pred_b) & 1) > 0)
         def _table_pair(lam_a=lam_a, lam_b=lam_b, pred_a=pred_a,
                         pred_b=pred_b):
-            bits3 = pltpu.prng_random_bits((8, 2 * b_pad))
+            bits3 = pltpu.prng_random_bits((blk, 2 * b_pad))
             u3a = _uniform_from_bits(bits3[:, :b_pad])
             u3b = _uniform_from_bits(bits3[:, b_pad:])
 
@@ -159,10 +159,10 @@ def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
                 pb = pb * lam_b / kf
                 return ta, tb, ca + pa, cb + pb, pa, pb
 
-            pa0 = jnp.exp(-lam_a) * jnp.ones((8, b_pad), jnp.float32)
-            pb0 = jnp.exp(-lam_b) * jnp.ones((8, b_pad), jnp.float32)
+            pa0 = jnp.exp(-lam_a) * jnp.ones((blk, b_pad), jnp.float32)
+            pb0 = jnp.exp(-lam_b) * jnp.ones((blk, b_pad), jnp.float32)
             n_iter = jnp.maximum(pred_a >> 2, pred_b >> 2)
-            z0 = jnp.zeros((8, b_pad), jnp.float32)
+            z0 = jnp.zeros((blk, b_pad), jnp.float32)
             ta, tb, _, _, _, _ = jax.lax.fori_loop(
                 0, n_iter, table_step, (z0, z0, pa0, pb0, pa0, pb0))
 
@@ -181,8 +181,8 @@ def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
                                    (ub, pred_b, lam_b, draws_b_ref)):
             @pl.when(pred > 0)
             def _epilogue(u=u, lam=lam, dref=dref):
-                ratio = ratio_ref[:, u].reshape(8, 1)
-                ctail = ctail_ref[:, u].reshape(8, 1)
+                ratio = ratio_ref[:, u].reshape(blk, 1)
+                ctail = ctail_ref[:, u].reshape(blk, 1)
                 remaining = rem_out_ref[:, :]
                 raw = dref[:, :]
 
@@ -208,10 +208,10 @@ def _cascade_chunk_kernel(seed_ref, off_ref, pred_ref, rem_in_ref,
                 draws = jnp.where(ratio <= 0.0, jnp.zeros_like(draws),
                                   draws)
                 for wi in range(w_dim):
-                    sl = slice(wi * 8, (wi + 1) * 8)
+                    sl = slice(wi * blk, (wi + 1) * blk)
                     sums_out_ref[sl, :] = (
                         sums_out_ref[sl, :]
-                        + w_ref[:, u, wi].reshape(8, 1) * draws)
+                        + w_ref[:, u, wi].reshape(blk, 1) * draws)
                 rem_out_ref[:, :] = remaining - draws
 
 
@@ -229,12 +229,13 @@ PALLAS_B_CHUNK = 2048
 
 @functools.partial(jax.jit, static_argnames=("num_boot", "interpret",
                                              "reseed_per_bin", "table_bound",
-                                             "chunk_bins"))
+                                             "chunk_bins", "rows_blk"))
 def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
                                 interpret: bool = False,
                                 reseed_per_bin: bool = True,
                                 table_bound: tuple = (5.0, 4.0),
-                                chunk_bins: int = 0):
+                                chunk_bins: int = 0,
+                                rows_blk: int = 16):
     """Pallas analog of ``fused_bootstrap_sums`` (cascade sampler only).
 
     Genes of arbitrary U are supported: the cascade runs as a ``lax.scan``
@@ -266,10 +267,18 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
     # lax.map-of-launches this used before (measured: 3.76 s vs 3.95 s for
     # the T=1024 x U=1024 x B=10k tile — the kernel is VPU-bound on the
     # truncated-Poisson table loop, so the win is launch overhead only).
+    # rows_blk=16 (default) measured r5: 0.725 s vs 0.812 s at blk=8 on the
+    # north-star tile (+10.7%) — the per-bin scalar fixed cost (the kernel's
+    # established bound) amortizes over 16 rows; blk=32 is slightly worse
+    # with 3.5x the compile time.  Distribution + conservation re-validated
+    # on hardware at blk=16.
+    if rows_blk % 8:
+        raise ValueError(f"rows_blk must be a multiple of 8; got {rows_blk}")
+    blk = rows_blk
     b_chunk = min(b_pad, PALLAS_B_CHUNK)
     n_bc = b_pad // b_chunk if b_pad % b_chunk == 0 else b_pad // b_chunk + 1
     b_pad = n_bc * b_chunk
-    t_pad = ((t_dim + 7) // 8) * 8
+    t_pad = ((t_dim + blk - 1) // blk) * blk
 
     n_rows = jnp.broadcast_to(jnp.asarray(n_obs, jnp.float32), (t_dim,))
     if t_pad != t_dim:
@@ -314,7 +323,7 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
     # deriving them from cross-lane maxima (each in-kernel derivation cost
     # a vector->scalar sync; measured ~3 us per fired bin, the dominant
     # kernel cost — see the kernel docstring).
-    lam_blk = counts.reshape(t_pad // 8, 8, u_pad)
+    lam_blk = counts.reshape(t_pad // blk, blk, u_pad)
     colmax = lam_blk.max(axis=1)  # [TB, U]
     lam_tab = jnp.where((lam_blk > 0) & (lam_blk < CASCADE_TAU), lam_blk,
                         0.0).max(axis=1)
@@ -361,6 +370,7 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
         n_bc=n_bc,
         u_total=u_pad,
         reseed_per_bin=reseed_per_bin,
+        blk=blk,
     )
 
     def to_chunks(x):  # [T, u_pad, ...] -> [n_chunks, T, chunk, ...]
@@ -385,37 +395,37 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
     # while the lane chunks sweep.
     call = pl.pallas_call(
         kernel,
-        grid=(t_pad // 8, n_bc),
+        grid=(t_pad // blk, n_bc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk bin offset
             pl.BlockSpec((8, chunk), lambda i, j: (i // 8, 0),
                          memory_space=pltpu.SMEM),  # packed predicates
-            pl.BlockSpec((8, b_chunk), lambda i, j: (i, j),
+            pl.BlockSpec((blk, b_chunk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),  # remaining (carry in)
-            pl.BlockSpec((8 * w_dim, b_chunk), lambda i, j: (i, j),
+            pl.BlockSpec((blk * w_dim, b_chunk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),  # sums (carry in)
-            pl.BlockSpec((8, chunk), lambda i, j: (i, 0),
+            pl.BlockSpec((blk, chunk), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),  # ratio
-            pl.BlockSpec((8, chunk), lambda i, j: (i, 0),
+            pl.BlockSpec((blk, chunk), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),  # lam (counts)
-            pl.BlockSpec((8, chunk), lambda i, j: (i, 0),
+            pl.BlockSpec((blk, chunk), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),  # ctail
-            pl.BlockSpec((8, chunk, w_dim), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((blk, chunk, w_dim), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # weights
         ],
         out_specs=[
-            pl.BlockSpec((8, b_chunk), lambda i, j: (i, j),
+            pl.BlockSpec((blk, b_chunk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * w_dim, b_chunk), lambda i, j: (i, j),
+            pl.BlockSpec((blk * w_dim, b_chunk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((t_pad * w_dim, b_pad), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((8, b_chunk), jnp.float32),
-                        pltpu.VMEM((8, b_chunk), jnp.float32)],  # draws a/b
+        scratch_shapes=[pltpu.VMEM((blk, b_chunk), jnp.float32),
+                        pltpu.VMEM((blk, b_chunk), jnp.float32)],  # draws a/b
         input_output_aliases={3: 0, 4: 1},
         interpret=interpret,
     )
@@ -430,7 +440,7 @@ def fused_bootstrap_sums_pallas(key, counts, weights, n_obs, num_boot: int,
     (rem_f, out), _ = jax.lax.scan(step, (rem0, sums0), xs)
     del rem_f
     # [t_pad * W, b_pad] with per-program [8*W] rows -> [T, W, B]
-    out = out.reshape(t_pad // 8, w_dim, 8, b_pad).transpose(0, 2, 1, 3)
+    out = out.reshape(t_pad // blk, w_dim, blk, b_pad).transpose(0, 2, 1, 3)
     out = out.reshape(t_pad, w_dim, b_pad)
     out = out[inv_order]  # undo the occupancy sort
     return out[:t_dim, :, :num_boot]
